@@ -1,0 +1,5 @@
+from .projection_back import projection_back
+from .minimum_distortion_principle import minimum_distortion_principle
+from .linalg import solve_riccati
+
+__all__ = ["projection_back", "minimum_distortion_principle", "solve_riccati"]

@@ -1,0 +1,54 @@
+"""Projection-back scale restoration.
+
+Parity target: reference ``src/algorithm/projection_back.py:3-34`` — the
+least-squares fit ``A = X Y^H (Y Y^H)^{-1}`` per frequency bin, returning the
+per-(source, bin) complex scales to apply to the separated signals.  Every
+determined-BSS solver calls this once at the end of ``__call__``.
+
+TPU shape: one batched complex solve over the bin axis (MXU-friendly); we
+solve the adjoint system instead of forming the explicit inverse.
+"""
+
+import jax.numpy as jnp
+
+
+def projection_back(Y, reference):
+    """Args:
+        Y: separated sources ``(n_sources, n_bins, n_frames)``.
+        reference: mixture at the reference mic ``(n_bins, n_frames)`` or the
+            full mixture ``(n_channels, n_bins, n_frames)``.
+    Returns:
+        scale ``(n_sources, n_bins)`` (2-D reference) or
+        ``(n_channels, n_sources, n_bins)`` (3-D reference).
+    """
+    n_dims = reference.ndim
+    if n_dims == 2:
+        X = reference[None, :, :]
+    elif n_dims == 3:
+        X = reference
+    else:
+        raise ValueError(
+            "reference.ndim is expected 2 or 3, but given {}.".format(n_dims)
+        )
+
+    Yb = jnp.transpose(Y, (1, 0, 2))  # (n_bins, n_sources, n_frames)
+    Xb = jnp.transpose(X, (1, 0, 2))  # (n_bins, n_channels, n_frames)
+    Y_hermite = jnp.swapaxes(Yb, -2, -1).conj()  # (n_bins, n_frames, n_sources)
+    YYH = Yb @ Y_hermite  # (n_bins, n_sources, n_sources), Hermitian
+    XYH = Xb @ Y_hermite  # (n_bins, n_channels, n_sources)
+    # A = XYH @ inv(YYH)  ⇔  solve YYH^H A^H = XYH^H (YYH Hermitian)
+    A = jnp.swapaxes(
+        jnp.linalg.solve(jnp.swapaxes(YYH, -2, -1).conj(), jnp.swapaxes(XYH, -2, -1).conj()),
+        -2,
+        -1,
+    ).conj()  # (n_bins, n_channels, n_sources)
+
+    if n_dims == 2:
+        return jnp.transpose(A[:, 0, :], (1, 0))  # (n_sources, n_bins)
+    return jnp.transpose(A, (1, 2, 0))  # (n_channels, n_sources, n_bins)
+
+
+def apply_projection_back(Y, reference):
+    """Convenience: scale ``Y`` by the projection-back coefficients."""
+    scale = projection_back(Y, reference)
+    return Y * scale[..., None]

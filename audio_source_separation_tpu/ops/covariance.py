@@ -1,0 +1,34 @@
+"""Weighted spatial covariance accumulation — the BSS hot op #1.
+
+Reference idiom (``bss/iva.py:493-499`` and six clones): materialize the
+``(n_bins, n_frames, C, C)`` outer-product tensor ``x x^H`` in RAM, divide by
+per-(source, frame) weights, and mean over frames.  On TPU we never
+materialize it: the accumulation is a single complex contraction over the
+frame axis (``einsum`` → batched MXU matmuls), fused by XLA with the weight
+scaling.  For C=2..8 and F up to 4097 this is bandwidth-bound on the
+spectrogram read, which is the speed-of-light for this op.
+"""
+
+import jax.numpy as jnp
+
+
+def weighted_covariance(X, weights):
+    """``U[n, f] = (1/T) Σ_t weights[n, t] · x[:, f, t] x[:, f, t]^H``.
+
+    Args:
+        X: mixture spectrogram ``(n_channels, n_bins, n_frames)``.
+        weights: per-(source, frame) real weights ``(n_sources, n_frames)``
+            (typically ``1 / R`` with ``R`` floored at ``eps``).
+    Returns:
+        ``U (n_sources, n_bins, n_channels, n_channels)`` Hermitian.
+    """
+    n_frames = X.shape[-1]
+    w = weights.astype(X.real.dtype)
+    U = jnp.einsum("nt,cft,dft->nfcd", w, X, X.conj(), optimize=True)
+    return U / n_frames
+
+
+def spatial_covariance(X):
+    """Unweighted per-bin spatial covariance ``(n_bins, C, C)`` (mean over frames)."""
+    n_frames = X.shape[-1]
+    return jnp.einsum("cft,dft->fcd", X, X.conj()) / n_frames

@@ -1,0 +1,96 @@
+"""Pure-functional sharded solver steps for multi-chip execution.
+
+The reference is strictly single-process (SURVEY.md §2.6); this module adds the
+TPU-native parallel layer: a batched AuxIVA/ILRMA update jitted over a 2-D
+``(dp, tp)`` device mesh —
+
+  * ``dp`` (data parallel): independent mixtures along a batch axis;
+  * ``tp`` (tensor parallel): the frequency-bin axis, since every per-bin C×C
+    update is independent.  The only cross-bin dependency is the source-weight
+    reduction ``R = f(Σ_bins |Y|²)`` — XLA turns it into a single all-reduce
+    over the ``tp`` axis riding the ICI; everything else is collective-free.
+
+Frame-axis (sequence-parallel analogue) sharding is equally legal — the
+covariance accumulation becomes a ``psum`` over frame shards — and can be
+enabled by sharding the trailing axis instead.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import numpy as np
+
+from ..ops.covariance import weighted_covariance
+from ..ops.ip import ip_update
+
+
+def auxiva_ip_step(X, W, eps=1e-8, threshold=1e12):
+    """One AuxIVA-IP iteration as a pure function (single mixture).
+
+    Args:
+        X: ``(n_channels, n_bins, n_frames)`` complex mixture.
+        W: ``(n_bins, n_sources, n_channels)`` demixing filters.
+    Returns:
+        ``(W_new, nll)``.
+    """
+    Y = jnp.einsum("fnc,cft->nft", W, X)
+    P_ = jnp.abs(Y) ** 2
+    R = jnp.maximum(jnp.sqrt(P_.sum(axis=1)), eps)  # (N, T)
+    U = weighted_covariance(X, 1.0 / R)
+    W = ip_update(W, U, threshold=threshold)
+    Y = jnp.einsum("fnc,cft->nft", W, X)
+    n_frames = X.shape[-1]
+    nll = (2 * jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2, axis=1))).sum() - 2 * n_frames * (
+        jnp.log(jnp.abs(jnp.linalg.det(W))).sum()
+    )
+    return W, nll
+
+
+def auxiva_ip_step_stacked(X2, W2, eps=1e-8, threshold=1e12):
+    """Real-boundary variant: complex arrays carried as a stacked leading
+    (re, im) axis — ``X2 (2, C, F, T)``, ``W2 (2, F, N, C)`` — because the TPU
+    runtime does not accept complex buffers at the executable boundary."""
+    X = jax.lax.complex(X2[0], X2[1])
+    W = jax.lax.complex(W2[0], W2[1])
+    W, nll = auxiva_ip_step(X, W, eps=eps, threshold=threshold)
+    return jnp.stack([W.real, W.imag]), nll
+
+
+batched_auxiva_ip_step = jax.vmap(
+    auxiva_ip_step_stacked, in_axes=(0, 0), out_axes=(0, 0)
+)
+
+
+def make_mesh_2d(n_devices=None, devices=None):
+    """A ``(dp, tp)`` mesh: dp gets the largest power-of-two factor ≤ √n."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    dp = 1
+    while dp * 2 <= n // (dp * 2) and n % (dp * 2) == 0:
+        dp *= 2
+    tp = n // dp
+    return Mesh(np.array(devices).reshape(dp, tp), axis_names=("dp", "tp"))
+
+
+def make_sharded_train_step(mesh):
+    """Jit the batched AuxIVA-IP step with (dp, tp) shardings over ``mesh``.
+
+    Input layout (stacked-real boundary): ``X (batch, 2, C, F, T)`` sharded
+    ``P('dp', None, None, 'tp', None)``; ``W (batch, 2, F, N, C)`` sharded
+    ``P('dp', None, 'tp', None, None)``.
+    """
+    x_sharding = NamedSharding(mesh, P("dp", None, None, "tp", None))
+    w_sharding = NamedSharding(mesh, P("dp", None, "tp", None, None))
+    nll_sharding = NamedSharding(mesh, P("dp"))
+
+    step = jax.jit(
+        batched_auxiva_ip_step,
+        in_shardings=(x_sharding, w_sharding),
+        out_shardings=(w_sharding, nll_sharding),
+    )
+    return step, x_sharding, w_sharding

@@ -1,0 +1,136 @@
+"""Benchmark: AuxIVA-IP solver iterations/sec on TPU vs the NumPy reference.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+The workload matches the reference's canonical config (BASELINE.md): 2-channel
+mixture, fft 4096 (2049 bins), ~60 s at 16 kHz (469 frames).  The baseline is
+a faithful NumPy implementation of the same AuxIVA-IP update math the
+reference runs (weighted covariance via materialized outer products + per-bin
+cond/solve, ``/root/reference/src/bss/iva.py:481-523``), timed on this host.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_CHANNELS = 2
+N_BINS = 2049
+N_FRAMES = 469
+ITERS = 30
+EPS = 1e-12
+THRESHOLD = 1e12
+
+
+def make_input(dtype=np.complex128):
+    rng = np.random.RandomState(111)
+    # a "mixture-like" spectrogram: two modulated noise sources, instantaneously mixed
+    S = rng.randn(2, N_BINS, N_FRAMES) * np.abs(
+        rng.randn(2, 1, N_FRAMES)
+    ) + 1j * rng.randn(2, N_BINS, N_FRAMES)
+    A = np.array([[1.0, 0.7], [0.6, 1.0]])
+    X = np.einsum("cn,nft->cft", A, S).astype(dtype)
+    return X
+
+
+# --------------------------------------------------------------------------- #
+# NumPy baseline (the reference's update math, same op sequence)
+# --------------------------------------------------------------------------- #
+def numpy_auxiva_ip(X, n_iter):
+    n_channels, n_bins, n_frames = X.shape
+    W = np.tile(np.eye(n_channels, dtype=X.dtype), (n_bins, 1, 1))
+    Xb = X.transpose(1, 2, 0)  # (F, T, C)
+    E = np.eye(n_channels)
+    for _ in range(n_iter):
+        Y = np.einsum("fnc,cft->nft", W, X)
+        R = np.sqrt((np.abs(Y) ** 2).sum(axis=1))
+        R = np.maximum(R, EPS)
+        XX = Xb[:, :, :, None] * Xb[:, :, None, :].conj()  # (F, T, C, C)
+        for n in range(n_channels):
+            U_n = (XX / R[n][None, :, None, None]).mean(axis=1)
+            WU = W @ U_n
+            condition = np.linalg.cond(WU) < THRESHOLD
+            w = np.linalg.solve(WU, np.tile(E[n], (n_bins, 1))[..., None])[..., 0]
+            wUw = np.einsum("fc,fcd,fd->f", w.conj(), U_n, w).real
+            w_new = w.conj() / np.sqrt(wUw)[:, None]
+            W[:, n, :] = np.where(condition[:, None], w_new, W[:, n, :])
+    return W
+
+
+def bench_numpy(X):
+    # time a few iterations, extrapolate
+    n_iter = 3
+    numpy_auxiva_ip(X, 1)  # warm caches
+    start = time.perf_counter()
+    numpy_auxiva_ip(X, n_iter)
+    elapsed = time.perf_counter() - start
+    return n_iter / elapsed
+
+
+# --------------------------------------------------------------------------- #
+# JAX/TPU path
+# --------------------------------------------------------------------------- #
+def bench_jax(X):
+    import jax
+    import jax.numpy as jnp
+
+    from audio_source_separation_tpu.parallel.sharded import auxiva_ip_step
+
+    # real-array boundary: complex spectrogram packed on host as (re, im)
+    X2 = jnp.asarray(
+        np.stack([X.real, X.imag]).astype(np.float32)
+    )  # (2, C, F, T)
+    n_channels, n_bins = X2.shape[1], X2.shape[2]
+    W2_0 = jnp.stack(
+        [
+            jnp.tile(jnp.eye(n_channels, dtype=jnp.float32), (n_bins, 1, 1)),
+            jnp.zeros((n_bins, n_channels, n_channels), dtype=jnp.float32),
+        ]
+    )
+
+    @jax.jit
+    def run(X2, W2):
+        Xc = jax.lax.complex(X2[0], X2[1])
+
+        def body(W, _):
+            W, nll = auxiva_ip_step(Xc, W)
+            return W, nll
+
+        W, nlls = jax.lax.scan(
+            body, jax.lax.complex(W2[0], W2[1]), None, length=ITERS
+        )
+        return jnp.stack([W.real, W.imag]), nlls
+
+    # warmup: compile + first device execution (the tunnel's one-time program
+    # load is slow); jax.device_get is the only reliable completion barrier on
+    # this backend — block_until_ready returns before execution finishes.
+    W2, nll = run(X2, W2_0)
+    _ = jax.device_get(nll)
+
+    n_rep = 5
+    start = time.perf_counter()
+    W2c = W2_0
+    for _ in range(n_rep):
+        W2c, nll = run(X2, W2c)
+    nll_host = jax.device_get(nll)
+    elapsed = time.perf_counter() - start
+    assert np.isfinite(nll_host).all()
+    return (ITERS * n_rep) / elapsed
+
+
+def main():
+    X = make_input()
+    jax_ips = bench_jax(X)
+    numpy_ips = bench_numpy(X)
+    result = {
+        "metric": "auxiva_ip_iterations_per_sec_2ch_fft4096",
+        "value": round(jax_ips, 3),
+        "unit": "iters/s",
+        "vs_baseline": round(jax_ips / numpy_ips, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

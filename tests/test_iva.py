@@ -1,0 +1,199 @@
+"""IVA solver tests: per-step numerical parity with a direct NumPy
+implementation of the update math, loss monotonicity, and end-to-end
+separation quality on synthetic convolutive mixtures."""
+
+import numpy as np
+import pytest
+
+from audio_source_separation_tpu.models import (
+    AuxGaussIVA,
+    AuxLaplaceIVA,
+    GradLaplaceIVA,
+    NaturalGradLaplaceIVA,
+)
+from audio_source_separation_tpu.transform import stft, istft
+
+from conftest import make_mixture, synth_convolutive_mixture
+
+EPS = 1e-12
+
+
+# --------------------------------------------------------------------------- #
+# NumPy reference update (the AuxIVA-IP math, written directly from the
+# update equations: weighted covariance + row-wise solve + normalize)
+# --------------------------------------------------------------------------- #
+def numpy_auxiva_ip_step(X, W, contrast="laplace"):
+    n_channels, n_bins, n_frames = X.shape
+    Y = np.einsum("fnc,cft->nft", W, X)
+    P = np.abs(Y) ** 2
+    if contrast == "laplace":
+        R = np.sqrt(P.sum(axis=1))  # (N, T)
+    else:
+        R = P.mean(axis=1)
+    R = np.maximum(R, EPS)
+    Xb = X.transpose(1, 2, 0)  # (F, T, C)
+    XX = Xb[:, :, :, None] * Xb[:, :, None, :].conj()  # (F, T, C, C)
+    for n in range(n_channels):
+        U_n = (XX / R[n][None, :, None, None]).mean(axis=1)  # (F, C, C)
+        WU = W @ U_n
+        e_n = np.zeros(n_channels)
+        e_n[n] = 1
+        w = np.linalg.solve(WU, np.tile(e_n, (n_bins, 1))[..., None])[..., 0]
+        wUw = np.einsum("fc,fcd,fd->f", w.conj(), U_n, w)
+        W[:, n, :] = w.conj() / np.sqrt(wUw)[:, None]
+    return W
+
+
+def numpy_laplace_nll(X, W):
+    Y = np.einsum("fnc,cft->nft", W, X)
+    P = np.sum(np.abs(Y) ** 2, axis=1)
+    n_frames = X.shape[-1]
+    return (2 * np.sqrt(P)).sum() - 2 * n_frames * np.log(
+        np.abs(np.linalg.det(W))
+    ).sum()
+
+
+def test_auxiva_ip_step_parity(rng):
+    """One jitted IP step must match the NumPy math to fp64 tolerance."""
+    X = make_mixture(rng, n_channels=3, n_bins=11, n_frames=24)
+    solver = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)
+    state = solver.init_state(X)
+    new_state = solver.update_state(state)
+    W_expected = numpy_auxiva_ip_step(X, np.tile(np.eye(3, dtype=X.dtype), (11, 1, 1)))
+    np.testing.assert_allclose(
+        np.asarray(new_state["demix_filter"]), W_expected, atol=1e-10
+    )
+
+
+def test_auxiva_gauss_ip_step_parity(rng):
+    X = make_mixture(rng, n_channels=2, n_bins=9, n_frames=16)
+    solver = AuxGaussIVA(algorithm_spatial="IP", recordable_loss=False)
+    state = solver.init_state(X)
+    new_state = solver.update_state(state)
+    W_expected = numpy_auxiva_ip_step(
+        X, np.tile(np.eye(2, dtype=X.dtype), (9, 1, 1)), contrast="gauss"
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state["demix_filter"]), W_expected, atol=1e-10
+    )
+
+
+def test_auxiva_nll_parity(rng):
+    X = make_mixture(rng, n_channels=2, n_bins=9, n_frames=16)
+    solver = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=True)
+    solver(X, iteration=3)
+    # recompute final nll in numpy from the solver's final state
+    W = np.asarray(solver.demix_filter)
+    np.testing.assert_allclose(solver.loss[-1], numpy_laplace_nll(X, W), rtol=1e-10)
+
+
+@pytest.mark.parametrize("algorithm", ["IP", "ISS", "IP2"])
+def test_auxiva_laplace_loss_monotone(rng, algorithm):
+    X = make_mixture(rng, n_channels=2, n_bins=33, n_frames=64)
+    solver = AuxLaplaceIVA(algorithm_spatial=algorithm)
+    solver(X, iteration=10)
+    losses = np.asarray(solver.loss)
+    assert len(losses) == 11
+    assert (np.diff(losses) <= 1e-6 * np.abs(losses[:-1])).all(), losses
+
+
+@pytest.mark.parametrize("algorithm", ["IP", "ISS"])
+def test_auxiva_gauss_loss_monotone(rng, algorithm):
+    X = make_mixture(rng, n_channels=2, n_bins=33, n_frames=64)
+    solver = AuxGaussIVA(algorithm_spatial=algorithm)
+    solver(X, iteration=10)
+    losses = np.asarray(solver.loss)
+    assert (np.diff(losses) <= 1e-6 * np.abs(losses[:-1]) + 1e-8).all(), losses
+
+
+def test_grad_iva_loss_decreases(rng):
+    X = make_mixture(rng, n_channels=2, n_bins=17, n_frames=64)
+    solver = GradLaplaceIVA(lr=0.05)
+    solver(X, iteration=30)
+    losses = np.asarray(solver.loss)
+    assert losses[-1] < losses[0]
+
+
+def test_natural_grad_iva_loss_decreases(rng):
+    X = make_mixture(rng, n_channels=2, n_bins=17, n_frames=64)
+    solver = NaturalGradLaplaceIVA(lr=0.1)
+    solver(X, iteration=30)
+    losses = np.asarray(solver.loss)
+    assert losses[-1] < losses[0]
+
+
+def _si_sdr(estimate, target):
+    alpha = np.sum(estimate * target) / np.sum(target**2)
+    projection = alpha * target
+    noise = estimate - projection
+    return 10 * np.log10(np.sum(projection**2) / np.sum(noise**2))
+
+
+def _best_pairing_sisdr(estimates, sources):
+    """max over permutations of mean SI-SDR (2-source)."""
+    a = np.mean(
+        [_si_sdr(estimates[0], sources[0]), _si_sdr(estimates[1], sources[1])]
+    )
+    b = np.mean(
+        [_si_sdr(estimates[0], sources[1]), _si_sdr(estimates[1], sources[0])]
+    )
+    return max(a, b)
+
+
+@pytest.mark.parametrize("algorithm", ["IP", "ISS", "IP2"])
+def test_auxiva_separates_convolutive_mixture(rng, algorithm):
+    mixture, sources = synth_convolutive_mixture(rng, n_sources=2, n_samples=16000)
+    fft_size, hop_size = 512, 256
+    X = stft(mixture, fft_size=fft_size, hop_size=hop_size)
+    solver = AuxLaplaceIVA(algorithm_spatial=algorithm, recordable_loss=False)
+    Y = solver(X, iteration=25)
+    y = np.asarray(istft(Y, fft_size=fft_size, hop_size=hop_size, length=mixture.shape[-1]))
+    before = _best_pairing_sisdr(mixture, sources)
+    after = _best_pairing_sisdr(y, sources)
+    assert after > before + 5.0, (before, after)
+
+
+def test_callbacks_and_warm_start(rng):
+    X = make_mixture(rng, n_channels=2, n_bins=9, n_frames=16)
+    seen = []
+
+    def record(solver):
+        seen.append(np.asarray(solver.demix_filter).copy())
+
+    solver = AuxLaplaceIVA(algorithm_spatial="IP", callbacks=record)
+    solver(X, iteration=3)
+    assert len(seen) == 4  # init + 3 iterations (reference bss/iva.py:407-441)
+
+    # warm start: resuming 2+1 iterations == 3 straight iterations
+    s1 = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)
+    s1(X, iteration=2)
+    W2 = s1.demix_filter
+    s2 = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)
+    s2(X, iteration=1, demix_filter=W2)
+    s3 = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)
+    s3(X, iteration=3)
+    np.testing.assert_allclose(
+        np.asarray(s2.demix_filter), np.asarray(s3.demix_filter), atol=1e-10
+    )
+
+
+def test_iss_matches_ip_loss_trajectory_loosely(rng):
+    """ISS and IP optimize the same contrast; final losses should be close."""
+    X = make_mixture(rng, n_channels=2, n_bins=33, n_frames=64)
+    ip = AuxLaplaceIVA(algorithm_spatial="IP")
+    ip(X, iteration=20)
+    iss = AuxLaplaceIVA(algorithm_spatial="ISS")
+    iss(X, iteration=20)
+    assert abs(ip.loss[-1] - iss.loss[-1]) / abs(ip.loss[-1]) < 0.05
+
+
+def test_extra_kwargs_become_attributes(rng):
+    X = make_mixture(rng)
+    sdri = []
+
+    def cb(solver):
+        solver.sdri.append(1)
+
+    solver = AuxLaplaceIVA(callbacks=cb, recordable_loss=False)
+    solver(X, iteration=2, sdri=sdri)
+    assert solver.sdri is sdri and len(sdri) == 3

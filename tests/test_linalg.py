@@ -1,0 +1,123 @@
+"""Numerical tests for utils.linalg / algorithm.linalg / criterion against
+straightforward NumPy computations."""
+
+import numpy as np
+
+from audio_source_separation_tpu.utils import to_hermite, to_psd, parallel_sort
+from audio_source_separation_tpu.algorithm import solve_riccati
+from audio_source_separation_tpu.algorithm.linalg import (
+    sqrtm_hermitian,
+    invsqrtm_hermitian,
+)
+from audio_source_separation_tpu.criterion import (
+    is_divergence,
+    generalized_kl_divergence,
+    beta_divergence,
+    logdet_divergence,
+    multichannel_is_divergence,
+    kl_divergence,
+)
+
+
+def random_psd(rng, *shape, n=4, complex_=True):
+    if complex_:
+        A = rng.randn(*shape, n, n) + 1j * rng.randn(*shape, n, n)
+    else:
+        A = rng.randn(*shape, n, n)
+    return A @ np.swapaxes(A, -2, -1).conj() + 0.1 * np.eye(n)
+
+
+def test_to_hermite(rng):
+    X = rng.randn(5, 3, 3) + 1j * rng.randn(5, 3, 3)
+    H = np.asarray(to_hermite(X))
+    np.testing.assert_allclose(H, np.swapaxes(H, -2, -1).conj())
+    np.testing.assert_allclose(H, (X + np.swapaxes(X, -2, -1).conj()) / 2)
+
+
+def test_to_psd_makes_psd(rng):
+    X = rng.randn(6, 4, 4) + 1j * rng.randn(6, 4, 4)
+    X = (X + np.swapaxes(X, -2, -1).conj()) / 2  # Hermitian, indefinite
+    P = np.asarray(to_psd(X))
+    eigvals = np.linalg.eigvalsh(P)
+    assert (eigvals >= -1e-10).all()
+    # already-PSD input is changed only by the eps*trace ridge
+    Q = random_psd(rng, 6, n=4)
+    Q2 = np.asarray(to_psd(Q, eps=1e-12))
+    np.testing.assert_allclose(Q2, Q, atol=1e-8)
+
+
+def test_parallel_sort_matches_take_along_axis(rng):
+    x = rng.randn(5, 4, 3) + 1j * rng.randn(5, 4, 3)
+    order = np.argsort(rng.randn(5, 4), axis=-1)
+    got = np.asarray(parallel_sort(x, order, axis=-2))
+    expected = np.stack([x[i][order[i]] for i in range(5)])
+    np.testing.assert_allclose(got, expected)
+
+
+def test_parallel_sort_partial_order(rng):
+    # order may select fewer elements than the axis length (Riccati use-case)
+    x = rng.randn(3, 6, 2)
+    order = np.argsort(rng.randn(3, 6), axis=-1)[:, :3]
+    got = np.asarray(parallel_sort(x, order, axis=-2))
+    assert got.shape == (3, 3, 2)
+    expected = np.stack([x[i][order[i]] for i in range(3)])
+    np.testing.assert_allclose(got, expected)
+
+
+def test_sqrtm_hermitian(rng):
+    A = random_psd(rng, 7, n=3)
+    S = np.asarray(sqrtm_hermitian(A))
+    np.testing.assert_allclose(S @ S, A, atol=1e-8)
+    Si = np.asarray(invsqrtm_hermitian(A))
+    eyes = np.broadcast_to(np.eye(3), (7, 3, 3))
+    np.testing.assert_allclose(Si @ A @ Si, eyes, atol=1e-8)
+
+
+def test_solve_riccati(rng):
+    """H A H = B must hold for the PSD closed form (replaces the reference's
+    general-eig block construction, algorithm/linalg.py:7-31)."""
+    A = random_psd(rng, 5, n=3)
+    B = random_psd(rng, 5, n=3)
+    H = np.asarray(solve_riccati(A, B))
+    np.testing.assert_allclose(H, np.swapaxes(H, -2, -1).conj(), atol=1e-10)
+    np.testing.assert_allclose(H @ A @ H, B, atol=1e-7)
+    assert (np.linalg.eigvalsh(H) >= -1e-9).all()
+
+
+def test_divergences_nonnegative_and_zero_at_equality(rng):
+    x = np.abs(rng.randn(4, 5)) + 0.1
+    y = np.abs(rng.randn(4, 5)) + 0.1
+    for div in (is_divergence, generalized_kl_divergence):
+        loss = np.asarray(div(x, y))
+        assert (loss >= -1e-10).all()
+        np.testing.assert_allclose(np.asarray(div(x, x)), 0.0, atol=1e-9)
+    loss = np.asarray(beta_divergence(x, y, beta=2))
+    assert (loss >= -1e-10).all()
+    np.testing.assert_allclose(np.asarray(beta_divergence(x, x, beta=2)), 0.0, atol=1e-9)
+
+
+def test_beta2_is_half_squared_euclidean(rng):
+    x = np.abs(rng.randn(6)) + 0.1
+    y = np.abs(rng.randn(6)) + 0.1
+    np.testing.assert_allclose(
+        np.asarray(beta_divergence(x, y, beta=2)), (x - y) ** 2 / 2, atol=1e-12
+    )
+
+
+def test_kl_divergence_sums_leading_axis(rng):
+    # the reference's kl_divergence has a torch-ism bug (divergence.py:18);
+    # ours implements the documented intent
+    x = np.abs(rng.randn(3, 4, 5)) + 0.1
+    loss = np.asarray(kl_divergence(x, x))
+    assert loss.shape == (4, 5)
+    np.testing.assert_allclose(loss, 0.0, atol=1e-9)
+
+
+def test_matrix_divergences(rng):
+    X = random_psd(rng, 6, n=3)
+    for div in (logdet_divergence, multichannel_is_divergence):
+        same = np.asarray(div(X, X))
+        np.testing.assert_allclose(same, 0.0, atol=1e-6)
+        Y = random_psd(rng, 6, n=3)
+        loss = np.asarray(div(X, Y))
+        assert (loss >= -1e-6).all()
