@@ -6,6 +6,20 @@ from .iva import (
     SparseAuxIVA,
     OverAuxLaplaceIVA,
 )
+from .nmf import (
+    EUCNMF,
+    KLNMF,
+    ISNMF,
+    TNMF,
+    CauchyNMF,
+    ComplexEUCNMF,
+    MultichannelISNMF,
+)
+from .ntf import EUCNTF
+from .psdtf import LDPSDTF
+
+# reference alias (``algorithm/nmf.py`` exposes ``tNMF``)
+tNMF = TNMF
 
 __all__ = [
     "GradLaplaceIVA",
@@ -14,4 +28,14 @@ __all__ = [
     "AuxGaussIVA",
     "SparseAuxIVA",
     "OverAuxLaplaceIVA",
+    "EUCNMF",
+    "KLNMF",
+    "ISNMF",
+    "TNMF",
+    "tNMF",
+    "CauchyNMF",
+    "ComplexEUCNMF",
+    "MultichannelISNMF",
+    "EUCNTF",
+    "LDPSDTF",
 ]

@@ -1,0 +1,489 @@
+"""Single-channel nonnegative matrix factorization family.
+
+Parity targets (reference ``src/algorithm/nmf.py``):
+  * ``EUCNMF`` — Euclidean MM updates with the fractional ``domain``
+    parameter, exponent ``d/(4−d)`` (``nmf.py:150-207``);
+  * ``KLNMF`` — generalized-KL MM, exponent ``d/2`` (``nmf.py:209-266``);
+  * ``ISNMF`` — Itakura–Saito MM (exponent ``d/(d+2)``) and ME variant
+    (``nmf.py:268-356``);
+  * ``tNMF`` — Student-t with the harmonic weight (``nmf.py:358-428``);
+  * ``CauchyNMF`` — naive / mm / me / mm_fast rules (``nmf.py:430-595``);
+  * ``ComplexEUCNMF`` — complex NMF with per-(bin,basis,frame) phase and
+    auxiliary split weights Beta (``nmf.py:597-676``);
+  * ``MultichannelISNMF`` — Sawada covariance-domain multichannel IS-NMF with
+    Riccati spatial updates (``nmf.py:678-815``).
+
+API: ``model = Cls(n_basis=K, ...); T, V = model(target, iteration=N)`` where
+``target`` is the (power/magnitude-domain) spectrogram ``(n_bins, n_frames)``.
+Loss is recorded after every update (no pre-loop entry), matching
+``nmf.py:44-52``.
+
+TPU notes: each MM sweep is two dense matmul pairs (``(F,K)×(K,T)``) plus
+elementwise powers — all MXU/VPU work; the fractional exponents compile to
+``exp/log``; the reference's in-place flooring becomes ``jnp.maximum``.
+Random initialization draws from host NumPy global RNG in the reference's
+order (basis then activation, ``nmf.py:41-42``) so seeded runs are
+init-compatible.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..algorithm.linalg import solve_riccati
+from ..criterion.divergence import (
+    generalized_kl_divergence,
+    is_divergence,
+    multichannel_is_divergence,
+)
+from ..runtime.solver import IterativeSolver
+
+EPS = 1e-12
+
+
+def _floor(x, eps):
+    return jnp.maximum(x, eps)
+
+
+class NMFBase(IterativeSolver):
+    """Fit protocol shared by the NMF family (``nmf.py:10-56``)."""
+
+    state_fields = ("basis", "activation")
+    record_initial_loss = False
+
+    def __init__(self, n_basis=2, eps=EPS):
+        super().__init__(callbacks=None, recordable_loss=True, eps=eps)
+        self.n_basis = n_basis
+
+    def prepare_state_kwargs(self, target, state_kwargs):
+        n_bins, n_frames = target.shape[-2], target.shape[-1]
+        if "basis" not in state_kwargs:
+            state_kwargs["basis"] = np.random.rand(n_bins, self.n_basis)
+        if "activation" not in state_kwargs:
+            state_kwargs["activation"] = np.random.rand(self.n_basis, n_frames)
+        return state_kwargs
+
+    def init_state(self, target, basis=None, activation=None):
+        real = target.real if jnp.iscomplexobj(target) else target
+        return {
+            "target": real.astype(basis.dtype),
+            "basis": basis,
+            "activation": activation,
+        }
+
+    def criterion(self, reconstruction, target):
+        raise NotImplementedError
+
+    def reconstruct(self, state):
+        domain = getattr(self, "domain", 2)
+        return (state["basis"] @ state["activation"]) ** (2 / domain)
+
+    def nll(self, state):
+        return self.criterion(self.reconstruct(state), state["target"]).sum()
+
+    def finalize(self, state):
+        return state["basis"], state["activation"]
+
+    def __call__(self, target, iteration=100, **kwargs):
+        return super().__call__(np.asarray(target), iteration=iteration, **kwargs)
+
+
+class EUCNMF(NMFBase):
+    """Euclidean NMF, MM updates with fractional ``domain`` (``nmf.py:150-207``)."""
+
+    def __init__(self, n_basis=2, domain=2, algorithm="mm", eps=EPS):
+        super().__init__(n_basis=n_basis, eps=eps)
+        assert 1 <= domain <= 2, "1 <= `domain` <= 2 is not satisfied."
+        assert algorithm == "mm", "algorithm must be 'mm'."
+        self.domain = domain
+        self.algorithm = algorithm
+
+    def criterion(self, reconstruction, target):
+        return (target - reconstruction) ** 2
+
+    def update_state(self, state):
+        Z = state["target"]
+        T, V = state["basis"], state["activation"]
+        d, eps = self.domain, self.eps
+
+        TV = _floor(T @ V, eps)
+        TVV = _floor(TV ** ((4 - d) / d) @ V.T, eps)
+        numerator = (Z * TV ** ((2 - d) / d)) @ V.T
+        T = T * (numerator / TVV) ** (d / (4 - d))
+
+        TV = _floor(T @ V, eps)
+        TTV = _floor(T.T @ TV ** ((4 - d) / d), eps)
+        numerator = T.T @ (Z * TV ** ((2 - d) / d))
+        V = V * (numerator / TTV) ** (d / (4 - d))
+
+        return {"target": Z, "basis": T, "activation": V}
+
+
+class KLNMF(NMFBase):
+    """Generalized-KL NMF, MM updates (``nmf.py:209-266``)."""
+
+    def __init__(self, n_basis=2, domain=2, algorithm="mm", eps=EPS):
+        super().__init__(n_basis=n_basis, eps=eps)
+        assert 1 <= domain <= 2, "1 <= `domain` <= 2 is not satisfied."
+        assert algorithm == "mm", "algorithm must be 'mm'."
+        self.domain = domain
+        self.algorithm = algorithm
+
+    def criterion(self, reconstruction, target):
+        return generalized_kl_divergence(reconstruction, target, eps=self.eps)
+
+    def update_state(self, state):
+        Z = state["target"]
+        T, V = state["basis"], state["activation"]
+        d, eps = self.domain, self.eps
+
+        TV = _floor(T @ V, eps)
+        TVV = _floor(TV ** ((2 - d) / d) @ V.T, eps)
+        T = T * ((Z / TV) @ V.T / TVV) ** (d / 2)
+
+        TV = _floor(T @ V, eps)
+        TTV = _floor(T.T @ TV ** ((2 - d) / d), eps)
+        V = V * (T.T @ (Z / TV) / TTV) ** (d / 2)
+
+        return {"target": Z, "basis": T, "activation": V}
+
+
+class ISNMF(NMFBase):
+    """Itakura–Saito NMF: MM (any domain) and ME (domain=2) updates
+    (``nmf.py:268-356``)."""
+
+    def __init__(self, n_basis=2, domain=2, algorithm="mm", eps=EPS):
+        super().__init__(n_basis=n_basis, eps=eps)
+        assert 1 <= domain <= 2, "1 <= `domain` <= 2 is not satisfied."
+        if algorithm == "me":
+            assert domain == 2, "Only domain = 2 is supported."
+        self.domain = domain
+        self.algorithm = algorithm
+
+    def criterion(self, reconstruction, target):
+        return is_divergence(reconstruction, target, eps=self.eps)
+
+    def update_state(self, state):
+        Z = state["target"]
+        T, V = state["basis"], state["activation"]
+        d, eps = self.domain, self.eps
+        exponent = d / (d + 2) if self.algorithm == "mm" else 1.0
+
+        TV = _floor(T @ V, eps)
+        division = Z / TV ** ((d + 2) / d)
+        TVV = _floor((1 / TV) @ V.T, eps)
+        T = T * (division @ V.T / TVV) ** exponent
+
+        TV = _floor(T @ V, eps)
+        division = Z / TV ** ((d + 2) / d)
+        TTV = _floor(T.T @ (1 / TV), eps)
+        V = V * (T.T @ division / TTV) ** exponent
+
+        return {"target": Z, "basis": T, "activation": V}
+
+
+class TNMF(NMFBase):
+    """Student-t NMF with harmonic weighting (``nmf.py:358-428``)."""
+
+    def __init__(self, n_basis=2, nu=1e3, domain=2, algorithm="mm", eps=EPS):
+        super().__init__(n_basis=n_basis, eps=eps)
+        assert domain == 2, "`domain` is expected 2."
+        assert algorithm == "mm", "algorithm must be 'mm'."
+        self.nu = nu
+        self.domain = domain
+        self.algorithm = algorithm
+
+    def criterion(self, reconstruction, target):
+        eps, nu = self.eps, self.nu
+        _input, _target = reconstruction + eps, target + eps
+        return jnp.log(_input) + (2 + nu) / 2 * jnp.log(
+            1 + (2 / nu) * (_target / _input)
+        )
+
+    def update_state(self, state):
+        Z = _floor(state["target"], self.eps)
+        T, V = state["basis"], state["activation"]
+        nu, eps = self.nu, self.eps
+
+        TV = _floor(T @ V, eps)
+        harmonic = 1 / (2 / ((2 + nu) * TV) + nu / ((2 + nu) * Z))
+        division = harmonic / TV**2
+        TVV = _floor((1 / TV) @ V.T, eps)
+        T = T * jnp.sqrt(division @ V.T / TVV)
+
+        TV = _floor(T @ V, eps)
+        harmonic = 1 / (2 / ((2 + nu) * TV) + nu / ((2 + nu) * Z))
+        division = harmonic / TV**2
+        TTV = _floor(T.T @ (1 / TV), eps)
+        V = V * jnp.sqrt(T.T @ division / TTV)
+
+        return {"target": state["target"], "basis": T, "activation": V}
+
+
+class CauchyNMF(NMFBase):
+    """Cauchy NMF: naive-multiplicative / mm / me / mm_fast rules
+    (``nmf.py:430-595``)."""
+
+    def __init__(self, n_basis=2, domain=2, algorithm="naive-multipricative", eps=EPS):
+        super().__init__(n_basis=n_basis, eps=eps)
+        assert domain == 2, "Only `domain` = 2 is supported."
+        if algorithm not in ("naive-multipricative", "mm", "me", "mm_fast"):
+            raise ValueError("Not support {} based update.".format(algorithm))
+        self.domain = domain
+        self.algorithm = algorithm
+
+    def criterion(self, reconstruction, target):
+        eps = self.eps
+        _input, _target = reconstruction + eps, target + eps
+        numerator = 2 * _target**2 + _input**2
+        denominator = 3 * _target**2
+        return jnp.log(_target / _input) + (3 / 2) * jnp.log(numerator / denominator)
+
+    def update_state(self, state):
+        Z = state["target"]
+        T, V = state["basis"], state["activation"]
+        eps = self.eps
+
+        if self.algorithm in ("naive-multipricative", "mm"):
+            ratio_pow = (lambda r: r) if self.algorithm == "naive-multipricative" else jnp.sqrt
+
+            TV = _floor(T @ V, eps)
+            numerator = (1 / TV) @ V.T
+            C = _floor(2 * Z + TV**2, eps)
+            denominator = _floor(3 * (TV / C) @ V.T, eps)
+            T = T * ratio_pow(numerator / denominator)
+
+            TV = _floor(T @ V, eps)
+            numerator = T.T @ (1 / TV)
+            C = _floor(2 * Z + TV**2, eps)
+            denominator = _floor(3 * T.T @ (TV / C), eps)
+            V = V * ratio_pow(numerator / denominator)
+        elif self.algorithm == "me":
+            TV = T @ V
+            TV2Z = _floor(TV**2 + Z, eps)
+            A = (3 / 4) * (TV / TV2Z) @ V.T
+            B = _floor(TV, eps)
+            B = (1 / B) @ V.T
+            denominator = _floor(A + jnp.sqrt(A**2 + 2 * B * A), eps)
+            T = T * (B / denominator)
+
+            TV = T @ V
+            TV2Z = _floor(TV**2 + Z, eps)
+            A = (3 / 4) * T.T @ (TV / TV2Z)
+            B = _floor(TV, eps)
+            B = T.T @ (1 / B)
+            denominator = _floor(A + jnp.sqrt(A**2 + 2 * B * A), eps)
+            V = V * (B / denominator)
+        else:  # mm_fast
+            TV = T @ V
+            C = 2 * Z + TV**2
+            CTV = _floor(C * TV, eps)
+            ZCTV = Z / CTV
+            C = _floor(C, eps)
+            numerator = ZCTV @ V.T
+            denominator = _floor((TV / C) @ V.T, eps)
+            T = T * jnp.sqrt(numerator / denominator)
+
+            TV = T @ V
+            C = 2 * Z + TV**2
+            CTV = _floor(C * TV, eps)
+            ZCTV = Z / CTV
+            C = _floor(C, eps)
+            numerator = T.T @ ZCTV
+            denominator = _floor(T.T @ (TV / C), eps)
+            V = V * jnp.sqrt(numerator / denominator)
+
+        return {"target": Z, "basis": T, "activation": V}
+
+
+class ComplexEUCNMF(IterativeSolver):
+    """Complex NMF (Euclidean), with per-(bin, basis, frame) phases and the
+    auxiliary split weights ``Beta = TV/ΣTV`` (``nmf.py:597-676``).
+
+    ``T, V, Phi = model(target, iteration=N)`` on a complex spectrogram.
+    Documented divergence: the reference's recorded loss reconstructs with the
+    raw phase *angles* (``nmf.py:106-109``, a bug); here the loss uses
+    ``exp(1j·Phi)`` — the quantity the updates actually minimize.
+    """
+
+    state_fields = ("basis", "activation", "phase")
+    record_initial_loss = False
+
+    def __init__(self, n_basis=2, regularizer=0.1, p=1, eps=EPS):
+        super().__init__(callbacks=None, recordable_loss=True, eps=eps)
+        self.n_basis = n_basis
+        self.regularizer = regularizer
+        self.p = p
+
+    def prepare_state_kwargs(self, target, state_kwargs):
+        n_bins, n_frames = target.shape
+        if "basis" not in state_kwargs:
+            state_kwargs["basis"] = np.random.rand(n_bins, self.n_basis)
+        if "activation" not in state_kwargs:
+            state_kwargs["activation"] = np.random.rand(self.n_basis, n_frames)
+        if "phase" not in state_kwargs:
+            # reference draws a random phase then overwrites with the target
+            # angle (``nmf.py:94-101``); reproduce both (RNG stream parity)
+            np.random.rand(n_bins, self.n_basis, n_frames)
+            state_kwargs["phase"] = np.tile(
+                np.angle(target)[:, None, :], (1, self.n_basis, 1)
+            )
+        return state_kwargs
+
+    def init_state(self, target, basis=None, activation=None, phase=None):
+        return {
+            "target": target,
+            "basis": basis,
+            "activation": activation,
+            "phase": phase,
+        }
+
+    def _beta(self, T, V):
+        TV = T[:, :, None] * V[None, :, :]
+        TVsum = jnp.maximum(TV.sum(axis=1, keepdims=True), self.eps)
+        return TV / TVsum
+
+    def update_state(self, state):
+        Z = state["target"]
+        T, V, Phi = state["basis"], state["activation"], state["phase"]
+        regularizer, p, eps = self.regularizer, self.p, self.eps
+
+        Ephi = jnp.exp(1j * Phi)
+        Beta = jnp.maximum(self._beta(T, V), eps)
+
+        X = T[:, :, None] * V[None, :, :] * Ephi
+        ZX = Z - X.sum(axis=1)
+        Z_bar = X + Beta * ZX[:, None, :]
+        V_bar = jnp.maximum(V, eps)
+        Re = jnp.real(Z_bar.conj() * Ephi)
+
+        numerator = ((V[None, :, :] / Beta) * Re).sum(axis=2)
+        denominator = jnp.maximum(jnp.sum(V[None, :, :] ** 2 / Beta, axis=2), eps)
+        T = numerator / denominator
+
+        numerator = ((T[:, :, None] / Beta) * Re).sum(axis=0)
+        denominator = jnp.maximum(
+            jnp.sum(T[:, :, None] ** 2 / Beta, axis=0)
+            + regularizer * p * V_bar ** (p - 2),
+            eps,
+        )
+        V = numerator / denominator
+
+        Phi = jnp.angle(Z_bar)
+        T = T / T.sum(axis=0)
+
+        return {"target": Z, "basis": T, "activation": V, "phase": Phi}
+
+    def nll(self, state):
+        T, V, Phi = state["basis"], state["activation"], state["phase"]
+        reconstruction = jnp.sum(
+            T[:, :, None] * V[None, :, :] * jnp.exp(1j * Phi), axis=1
+        )
+        return (jnp.abs(reconstruction - state["target"]) ** 2).sum()
+
+    def finalize(self, state):
+        return state["basis"], state["activation"], state["phase"]
+
+    def __call__(self, target, iteration=100, **kwargs):
+        return super().__call__(np.asarray(target), iteration=iteration, **kwargs)
+
+
+class MultichannelISNMF(IterativeSolver):
+    """Sawada covariance-domain multichannel IS-NMF (``nmf.py:678-815``).
+
+    ``H, T, V = model(target, iteration=N)`` with ``target`` the observed
+    covariance tensor ``(n_bins, n_frames, C, C)``.  Spatial update solves the
+    Riccati equation ``A H_new A-like`` system via the PSD closed form
+    (:func:`~audio_source_separation_tpu.algorithm.linalg.solve_riccati`).
+    """
+
+    state_fields = ("spatial", "basis", "activation")
+    record_initial_loss = False
+
+    def __init__(self, n_basis=10, normalize=True, eps=EPS):
+        super().__init__(callbacks=None, recordable_loss=True, eps=eps)
+        self.n_basis = n_basis
+        self.normalize = normalize
+
+    def prepare_state_kwargs(self, target, state_kwargs):
+        n_bins, n_frames, n_channels, _ = target.shape
+        if "spatial" not in state_kwargs:
+            state_kwargs["spatial"] = np.tile(
+                np.eye(n_channels, dtype=target.dtype),
+                (n_bins, self.n_basis, 1, 1),
+            )
+        if "basis" not in state_kwargs:
+            state_kwargs["basis"] = np.random.rand(n_bins, self.n_basis)
+        if "activation" not in state_kwargs:
+            state_kwargs["activation"] = np.random.rand(self.n_basis, n_frames)
+        return state_kwargs
+
+    def init_state(self, target, spatial=None, basis=None, activation=None):
+        return {
+            "target": target,
+            "spatial": spatial,
+            "basis": basis,
+            "activation": activation,
+        }
+
+    def reconstruct(self, state):
+        H, T, V = state["spatial"], state["basis"], state["activation"]
+        TV = T[:, :, None] * V[None, :, :]  # (F, K, T)
+        return jnp.einsum("fkcd,fkt->ftcd", H, TV.astype(H.dtype))
+
+    def _inv_xhat(self, state):
+        n_channels = state["target"].shape[-1]
+        X_hat = self.reconstruct(state)
+        eye = jnp.eye(n_channels, dtype=X_hat.dtype)
+        return jnp.linalg.inv(X_hat + self.eps * eye)
+
+    def update_state(self, state):
+        eps = self.eps
+        X = state["target"]
+        n_channels = X.shape[-1]
+        eye = jnp.eye(n_channels)
+
+        # --- basis ---
+        H, T, V = state["spatial"], state["basis"], state["activation"]
+        inv_X_hat = self._inv_xhat(state)
+        XXX = inv_X_hat @ X @ inv_X_hat
+        num = jnp.einsum("ftcd,fkdc->fkt", XXX, H).real
+        num = jnp.sum(V[None] * num, axis=2)
+        den = jnp.einsum("ftcd,fkdc->fkt", inv_X_hat, H).real
+        den = jnp.maximum(jnp.sum(V[None] * den, axis=2), eps)
+        T = T * jnp.sqrt(num / den)
+        state = dict(state, basis=T)
+
+        # --- activation ---
+        inv_X_hat = self._inv_xhat(state)
+        XXX = inv_X_hat @ X @ inv_X_hat
+        num = jnp.einsum("ftcd,fkdc->fkt", XXX, H).real
+        num = jnp.sum(T[:, :, None] * num, axis=0)
+        den = jnp.einsum("ftcd,fkdc->fkt", inv_X_hat, H).real
+        den = jnp.maximum(jnp.sum(T[:, :, None] * den, axis=0), eps)
+        V = V * jnp.sqrt(num / den)
+        state = dict(state, activation=V)
+
+        # --- spatial (Riccati) ---
+        inv_X_hat = self._inv_xhat(state)
+        XXX = inv_X_hat @ X @ inv_X_hat
+        Vr = V[None, :, :, None, None].astype(XXX.dtype)
+        VXXX = jnp.sum(Vr * XXX[:, None], axis=2)  # (F, K, C, C)
+        A = jnp.sum(Vr * inv_X_hat[:, None], axis=2)  # (F, K, C, C)
+        B = H @ VXXX @ H
+        H = solve_riccati(A, B)
+        H = H + eps * eye
+        if self.normalize:
+            H = H / jnp.trace(H, axis1=-2, axis2=-1)[..., None, None]
+
+        return dict(state, spatial=H)
+
+    def nll(self, state):
+        return multichannel_is_divergence(
+            self.reconstruct(state), state["target"], eps=self.eps
+        ).sum()
+
+    def finalize(self, state):
+        return state["spatial"], state["basis"], state["activation"]
+
+    def __call__(self, target, iteration=100, **kwargs):
+        return super().__call__(np.asarray(target), iteration=iteration, **kwargs)

@@ -53,6 +53,10 @@ class IterativeSolver:
     """
 
     state_fields = ()
+    # the IVA/ILRMA families record the NLL before the first update as well
+    # (``bss/iva.py:72-74``); the NMF families record only post-update losses
+    # (``algorithm/nmf.py:44-52``) — subclasses override this flag.
+    record_initial_loss = True
 
     def __init__(self, callbacks=None, recordable_loss=True, eps=EPS):
         if callbacks is not None and callable(callbacks):
@@ -85,11 +89,12 @@ class IterativeSolver:
 
     def set_shape_metadata(self, input):
         """Host-side shape bookkeeping (kept correct across jit cache hits)."""
-        n_channels, n_bins, n_frames = input.shape
-        self.n_channels = n_channels
-        if getattr(self, "n_sources", None) is None:
-            self.n_sources = n_channels
-        self.n_bins, self.n_frames = n_bins, n_frames
+        if input.ndim == 3:
+            n_channels, n_bins, n_frames = input.shape
+            self.n_channels = n_channels
+            if getattr(self, "n_sources", None) is None:
+                self.n_sources = n_channels
+            self.n_bins, self.n_frames = n_bins, n_frames
 
     # ------------------------------------------------------------------ #
     # runtime
@@ -173,7 +178,7 @@ class IterativeSolver:
         state = init(Xp, kwargs_p)
         self._sync_attributes(state)
 
-        if self.recordable_loss:
+        if self.recordable_loss and self.record_initial_loss:
             nll_fn = self._get_jit("nll", self._nll_fn)
             self.loss.append(float(nll_fn(state)))
 
