@@ -17,6 +17,17 @@ from .nmf import (
 )
 from .ntf import EUCNTF
 from .psdtf import LDPSDTF
+from .ilrma import (
+    GaussILRMA,
+    TILRMA,
+    ConsistentGaussILRMA,
+    GGDILRMA,
+    KLILRMA,
+    RegularizedILRMA,
+)
+
+# reference alias (``bss/ilrma.py`` exposes ``tILRMA``)
+tILRMA = TILRMA
 
 # reference alias (``algorithm/nmf.py`` exposes ``tNMF``)
 tNMF = TNMF
@@ -38,4 +49,11 @@ __all__ = [
     "MultichannelISNMF",
     "EUCNTF",
     "LDPSDTF",
+    "GaussILRMA",
+    "TILRMA",
+    "tILRMA",
+    "ConsistentGaussILRMA",
+    "GGDILRMA",
+    "KLILRMA",
+    "RegularizedILRMA",
 ]

@@ -17,14 +17,18 @@ def weighted_covariance(X, weights):
 
     Args:
         X: mixture spectrogram ``(n_channels, n_bins, n_frames)``.
-        weights: per-(source, frame) real weights ``(n_sources, n_frames)``
-            (typically ``1 / R`` with ``R`` floored at ``eps``).
+        weights: real weights ``(n_sources, n_frames)`` (IVA: bin-coupled
+            contrast) or ``(n_sources, n_bins, n_frames)`` (ILRMA: per-bin NMF
+            variances); typically ``1 / R`` with ``R`` floored at ``eps``.
     Returns:
         ``U (n_sources, n_bins, n_channels, n_channels)`` Hermitian.
     """
     n_frames = X.shape[-1]
     w = weights.astype(X.real.dtype)
-    U = jnp.einsum("nt,cft,dft->nfcd", w, X, X.conj(), optimize=True)
+    if w.ndim == 2:
+        U = jnp.einsum("nt,cft,dft->nfcd", w, X, X.conj(), optimize=True)
+    else:
+        U = jnp.einsum("nft,cft,dft->nfcd", w, X, X.conj(), optimize=True)
     return U / n_frames
 
 

@@ -25,14 +25,16 @@ def iss_sweep(Y, inv_R):
 
     Args:
         Y: current estimates ``(n_sources, n_bins, n_frames)``.
-        inv_R: reciprocal source weights ``(n_sources, n_frames)``
-            (``1/R`` with ``R`` floored).
+        inv_R: reciprocal source weights — ``(n_sources, n_frames)`` (IVA,
+            bin-coupled contrast) or ``(n_sources, n_bins, n_frames)`` (ILRMA,
+            per-bin NMF variances, ``bss/ilrma.py:537-564``); ``1/R`` with
+            ``R`` floored.
     Returns:
         updated ``Y``.
     """
     n_sources = Y.shape[0]
     n_frames = Y.shape[-1]
-    w = inv_R[:, None, :]  # (n_sources, 1, n_frames)
+    w = inv_R[:, None, :] if inv_R.ndim == 2 else inv_R
     for n in range(n_sources):
         Yn = Y[n]  # (n_bins, n_frames)
         U_n = jnp.sum(Y * Yn.conj() * w, axis=2)  # (n_sources, n_bins)
