@@ -29,6 +29,18 @@ from .ilrma import (
 # reference alias (``bss/ilrma.py`` exposes ``tILRMA``)
 tILRMA = TILRMA
 
+from .fdica import GradLaplaceFDICA, NaturalGradLaplaceFDICA
+from .beamform import (
+    DelaySumBeamformer,
+    MVDRBeamformer,
+    MaxSNRBeamformer,
+    delay_sum_beamform,
+    ml_beamform,
+    mvdr_beamform,
+    max_snr_beamform,
+)
+from .prox import PDSBSSBase, ProxLaplaceIVA, SparseProxIVA
+
 # reference alias (``algorithm/nmf.py`` exposes ``tNMF``)
 tNMF = TNMF
 
@@ -56,4 +68,16 @@ __all__ = [
     "GGDILRMA",
     "KLILRMA",
     "RegularizedILRMA",
+    "GradLaplaceFDICA",
+    "NaturalGradLaplaceFDICA",
+    "DelaySumBeamformer",
+    "MVDRBeamformer",
+    "MaxSNRBeamformer",
+    "delay_sum_beamform",
+    "ml_beamform",
+    "mvdr_beamform",
+    "max_snr_beamform",
+    "PDSBSSBase",
+    "ProxLaplaceIVA",
+    "SparseProxIVA",
 ]

@@ -1,0 +1,195 @@
+"""Primal–dual splitting BSS (PDS-BSS) and ProxLaplaceIVA.
+
+Parity targets (reference ``src/bss/prox.py`` and ``src/bss/iva.py:831-916``):
+  * ``PDSBSSBase`` — primal–dual splitting over the vectorized demixing
+    filter.  The reference builds a giant block-diagonal scipy ``bsr_matrix``
+    whose blocks are the per-bin ``(n_frames, n_channels)`` data matrices and
+    normalizes by its largest singular value via ``svds`` (``prox.py:67-79``).
+    The TPU design keeps the block structure implicit: the operator and its
+    adjoint are two einsum contractions batched over (bin, source), and the
+    spectral norm is ``max_f σ_max(X_f)`` from one batched SVD at init —
+    mathematically identical, with no sparse matrices anywhere;
+  * ``prox_logdet`` via batched SVD shrinkage ``σ ← (σ+√(σ²+4μ))/2``
+    (``prox.py:151-179``);
+  * ``ProxLaplaceIVA`` — group-ℓ₂ prox over frequency (``iva.py:867-889``)
+    and penalty ``C·Σ√(Σ_f|Y|²)`` (``iva.py:891-904``);
+  * ``SparseProxIVA`` — stub raising like the reference (``iva.py:906-916``).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..algorithm.projection_back import projection_back
+from ..runtime.solver import IterativeSolver
+
+EPS = 1e-12
+
+
+class PDSBSSBase(IterativeSolver):
+    """Primal–dual splitting solver base (``prox.py:13-201``)."""
+
+    state_fields = ("demix_filter", "estimation", "dual")
+    callback_on_init = False  # the reference invokes callbacks only after
+    # iterations in the PDS loop (``prox.py:95-102``)
+
+    def __init__(
+        self,
+        regularizer=1,
+        step_prox_logdet=1e0,
+        step_prox_penalty=1e0,
+        step=1e0,
+        callbacks=None,
+        recordable_loss=True,
+        eps=EPS,
+    ):
+        super().__init__(callbacks=callbacks, recordable_loss=recordable_loss, eps=eps)
+        self.regularizer = regularizer
+        self.step_prox_logdet = step_prox_logdet
+        self.step_prox_penalty = step_prox_penalty
+        self.step = step
+
+    @staticmethod
+    def separate(input, demix_filter):
+        X = jnp.transpose(input, (1, 0, 2))
+        Y = demix_filter @ X
+        return jnp.transpose(Y, (1, 0, 2))
+
+    def init_state(self, X, demix_filter=None, estimation=None, dual=None):
+        n_channels, n_bins, n_frames = X.shape
+        self.n_sources = self.n_channels = n_channels
+        self.n_bins, self.n_frames = n_bins, n_frames
+        if demix_filter is None:
+            W = jnp.tile(jnp.eye(n_channels, dtype=X.dtype), (n_bins, 1, 1))
+        else:
+            W = jnp.asarray(demix_filter, dtype=X.dtype)
+        if dual is None:
+            y = jnp.zeros((n_bins, n_channels, n_frames), dtype=X.dtype)
+        else:
+            y = jnp.asarray(dual, dtype=X.dtype)
+        # spectral normalization: the block-diagonal operator's largest
+        # singular value is max over bins of sigma_max(X_f (T, C))
+        Xb = jnp.transpose(X, (1, 2, 0))  # (F, T, C)
+        sigma = jnp.linalg.svd(Xb, compute_uv=False)  # (F, C)
+        norm = jnp.max(sigma)
+        X_normalized = Xb / norm  # (F, T, C)
+        return {
+            "input": X,
+            "input_normalized": X_normalized,
+            "demix_filter": W,
+            "estimation": self.separate(X, W),
+            "dual": y,
+        }
+
+    # ------------------------------------------------------------------ #
+    def _apply_operator(self, Xn, W):
+        """``(X̃ w)(f,n,t) = Σ_c X(f,t,c) w(f,n,c)`` — (F,T,C) × (F,N,C) → (F,N,T)."""
+        return jnp.einsum("ftc,fnc->fnt", Xn, W)
+
+    def _apply_adjoint(self, Xn, y):
+        """``(X̃^H y)(f,n,c) = Σ_t conj(X(f,t,c)) y(f,n,t)``."""
+        return jnp.einsum("ftc,fnt->fnc", Xn.conj(), y)
+
+    def prox_logdet(self, W, mu=1):
+        """SVD shrinkage ``σ ← (σ+√(σ²+4μ))/2`` (``prox.py:151-179``)."""
+        U, sigma, V = jnp.linalg.svd(W, full_matrices=False)
+        sigma = (sigma + jnp.sqrt(sigma**2 + 4 * mu)) / 2
+        return (U * sigma[..., None, :].astype(U.dtype)) @ V
+
+    def prox_penalty(self, z, mu=1):
+        raise NotImplementedError("Implement `prox_penalty` method")
+
+    def compute_penalty(self, state):
+        raise NotImplementedError("Implement `compute_penalty` method in subclass")
+
+    def update_state(self, state):
+        mu1, mu2 = self.step_prox_logdet, self.step_prox_penalty
+        alpha = self.step
+        X, Xn = state["input"], state["input_normalized"]
+        W, y = state["demix_filter"], state["dual"]
+
+        W_tilde = self.prox_logdet(W - mu1 * mu2 * self._apply_adjoint(Xn, y), mu1)
+        z = y + self._apply_operator(Xn, 2 * W_tilde - W)
+        y_tilde = z - self.prox_penalty(z, 1 / mu2)
+        y = alpha * y_tilde + (1 - alpha) * y
+        W = alpha * W_tilde + (1 - alpha) * W
+
+        return dict(
+            state, demix_filter=W, dual=y, estimation=self.separate(X, W)
+        )
+
+    def nll(self, state):
+        W = state["demix_filter"]
+        neg_logdet = -jnp.log(jnp.abs(jnp.linalg.det(W))).sum()
+        return self.compute_penalty(state) + neg_logdet
+
+    def finalize(self, state):
+        return self.separate(state["input"], state["demix_filter"])
+
+
+class ProxLaplaceIVA(PDSBSSBase):
+    """PDS IVA with the group-ℓ₂-over-frequency penalty
+    (``bss/iva.py:831-904``)."""
+
+    def __init__(
+        self,
+        regularizer=1,
+        step_prox_logdet=1e0,
+        step_prox_penalty=1e0,
+        step=1e0,
+        reference_id=0,
+        callbacks=None,
+        apply_projection_back=True,
+        recordable_loss=True,
+        eps=EPS,
+    ):
+        super().__init__(
+            regularizer=regularizer,
+            step_prox_logdet=step_prox_logdet,
+            step_prox_penalty=step_prox_penalty,
+            step=step,
+            callbacks=callbacks,
+            recordable_loss=recordable_loss,
+            eps=eps,
+        )
+        self.reference_id = reference_id
+        self.apply_projection_back = apply_projection_back
+
+    def prox_penalty(self, z, mu=1):
+        """Group-ℓ₂ shrinkage over the frequency axis (``iva.py:867-889``).
+
+        ``z (n_bins, n_sources, n_frames)``.
+        """
+        C = self.regularizer
+        zsum = jnp.sum(jnp.abs(z) ** 2, axis=0)  # (n_sources, n_frames)
+        denominator = jnp.sqrt(zsum)
+        denominator = jnp.where(denominator <= 0, mu, denominator)
+        scale = C * jnp.maximum(0, 1 - mu / denominator)
+        return scale[None].astype(z.dtype) * z
+
+    def compute_penalty(self, state):
+        """``C Σ_{n,t} sqrt(Σ_f |Y|²)`` (``iva.py:891-904``)."""
+        C = self.regularizer
+        Y = self.separate(state["input"], state["demix_filter"])
+        loss = jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2, axis=1))
+        return C * loss.sum()
+
+    def finalize(self, state):
+        X = state["input"]
+        Y = self.separate(X, state["demix_filter"])
+        if self.apply_projection_back:
+            scale = projection_back(Y, reference=X[self.reference_id])
+            Y = Y * scale[..., None]
+        return Y
+
+    def __repr__(self):
+        return "ProxLaplaceIVA(regularizer={}, step={})".format(
+            self.regularizer, self.step
+        )
+
+
+class SparseProxIVA(PDSBSSBase):
+    """Stub, as in the reference (``bss/iva.py:906-916``)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        raise NotImplementedError("coming soon")

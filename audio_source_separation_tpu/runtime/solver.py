@@ -57,6 +57,8 @@ class IterativeSolver:
     # (``bss/iva.py:72-74``); the NMF families record only post-update losses
     # (``algorithm/nmf.py:44-52``) — subclasses override this flag.
     record_initial_loss = True
+    # the PDS solvers invoke callbacks only after iterations (``prox.py:95-102``)
+    callback_on_init = True
 
     def __init__(self, callbacks=None, recordable_loss=True, eps=EPS):
         if callbacks is not None and callable(callbacks):
@@ -183,7 +185,8 @@ class IterativeSolver:
             self.loss.append(float(nll_fn(state)))
 
         if self.callbacks is not None:
-            self._on_callback(state)
+            if self.callback_on_init:
+                self._on_callback(state)
             step = self._get_jit("step", self._step_fn)
             nll_fn = self._get_jit("nll", self._nll_fn)
             for _ in range(iteration):
@@ -202,10 +205,15 @@ class IterativeSolver:
                 self.loss.extend(np.asarray(jax.device_get(losses)).tolist())
             self._sync_attributes(state)
 
-        finalize = self._get_jit("finalize", self._finalize_fn)
-        output = to_host(finalize(state))
+        output = self._run_finalize(state)
         self.estimation = output
         return output
+
+    def _run_finalize(self, state):
+        """Jitted finalize by default; solvers with host-side post-processing
+        (e.g. FDICA permutation alignment) override this."""
+        finalize = self._get_jit("finalize", self._finalize_fn)
+        return to_host(finalize(state))
 
     def _on_callback(self, state):
         for callback in self.callbacks:
