@@ -13,8 +13,13 @@ from .nmf import (
     TNMF,
     CauchyNMF,
     ComplexEUCNMF,
-    MultichannelISNMF,
 )
+
+# the reference has two classes named ``MultichannelISNMF``: the
+# covariance-domain factorizer (``algorithm/nmf.py:678``) and the Sawada/Ozerov
+# BSS solver (``bss/mnmf.py:115``).  The BSS solver gets the top-level name;
+# the factorizer stays importable as ``CovarianceISNMF`` or via models.nmf.
+from .nmf import MultichannelISNMF as CovarianceISNMF
 from .ntf import EUCNTF
 from .psdtf import LDPSDTF
 from .ilrma import (
@@ -40,6 +45,11 @@ from .beamform import (
     max_snr_beamform,
 )
 from .prox import PDSBSSBase, ProxLaplaceIVA, SparseProxIVA
+from .mnmf import (
+    MultichannelISNMF,
+    MultichanneltNMF,
+    FastMultichannelISNMF,
+)
 
 # reference alias (``algorithm/nmf.py`` exposes ``tNMF``)
 tNMF = TNMF
@@ -80,4 +90,8 @@ __all__ = [
     "PDSBSSBase",
     "ProxLaplaceIVA",
     "SparseProxIVA",
+    "CovarianceISNMF",
+    "MultichannelISNMF",
+    "MultichanneltNMF",
+    "FastMultichannelISNMF",
 ]

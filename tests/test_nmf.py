@@ -11,10 +11,10 @@ from audio_source_separation_tpu.models import (
     TNMF,
     CauchyNMF,
     ComplexEUCNMF,
-    MultichannelISNMF,
     EUCNTF,
     LDPSDTF,
 )
+from audio_source_separation_tpu.models.nmf import MultichannelISNMF
 
 EPS = 1e-12
 
