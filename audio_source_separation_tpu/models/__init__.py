@@ -50,6 +50,11 @@ from .mnmf import (
     MultichanneltNMF,
     FastMultichannelISNMF,
 )
+from .idlma import GaussIDLMA, torch_dnn
+from .ipsdta import GaussIPSDTA, TIPSDTA
+
+# reference alias (``bss/ipsdta.py`` exposes ``tIPSDTA``)
+tIPSDTA = TIPSDTA
 
 # reference alias (``algorithm/nmf.py`` exposes ``tNMF``)
 tNMF = TNMF
@@ -94,4 +99,9 @@ __all__ = [
     "MultichannelISNMF",
     "MultichanneltNMF",
     "FastMultichannelISNMF",
+    "GaussIDLMA",
+    "torch_dnn",
+    "GaussIPSDTA",
+    "TIPSDTA",
+    "tIPSDTA",
 ]

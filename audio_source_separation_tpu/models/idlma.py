@@ -1,0 +1,261 @@
+"""Independent deeply-learned matrix analysis (IDLMA).
+
+Parity target: reference ``src/sss/idlma.py:10-245`` (``GaussIDLMA``) — DNN-
+informed determined source separation: the per-source variance model
+``R = dnn(|Y|^d)^{2/d}`` comes from a user-supplied network run between
+iterations (``idlma.py:212-225``, under ``torch.no_grad()`` in the reference),
+the spatial update is the same IP kernel as ILRMA (``idlma.py:175-210``), and
+every iteration ends with projection-back-based normalization
+(``idlma.py:149-162``).
+
+TPU design — two DNN modes:
+  * ``jax_dnn=True``: ``dnn`` is a jittable JAX callable
+    (e.g. a Flax module's ``apply`` closed over params); the whole iteration
+    loop compiles into one ``lax.scan`` on device;
+  * ``jax_dnn=False`` (default): ``dnn`` is any host callable — including a
+    PyTorch module (wrapped via :func:`torch_dnn`) — and the loop runs as
+    jitted device stages around the host DNN call, exactly the reference's
+    execution model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algorithm.projection_back import projection_back
+from ..ops.covariance import weighted_covariance
+from ..ops.ip import ip_update
+from ..ops.packing import pack, realify, to_host, unpack
+from ..runtime.solver import IterativeSolver
+from ..utils.flooring import floor_below
+
+EPS = 1e-12
+THRESHOLD = 1e12
+
+
+def torch_dnn(module):
+    """Wrap a PyTorch module into a host callable ``(np.ndarray) -> np.ndarray``
+    run under ``no_grad`` (the reference's execution mode, ``idlma.py:218-224``)."""
+    import torch
+
+    def call(x):
+        with torch.no_grad():
+            t = torch.tensor(np.asarray(x), dtype=torch.float32)
+            if next(module.parameters()).is_cuda:
+                t = t.cuda()
+            out = module(t)
+        return out.cpu().numpy()
+
+    return call
+
+
+class IDLMABase(IterativeSolver):
+    """Shared IDLMA protocol (``sss/idlma.py:10-88``).
+
+    Note the reference uses a singular ``callback`` argument here (unlike the
+    ``callbacks`` list elsewhere, ``idlma.py:11-13``)."""
+
+    state_fields = ("demix_filter", "estimation", "dnn_output")
+
+    def __init__(self, normalize=True, callback=None, dnn_flooring=1e-5, eps=EPS):
+        super().__init__(
+            callbacks=None, recordable_loss=True, eps=eps
+        )
+        self.callback = callback
+        self.normalize = normalize
+        self.dnn_flooring = dnn_flooring
+
+    @staticmethod
+    def separate(input, demix_filter):
+        X = jnp.transpose(input, (1, 0, 2))
+        Y = demix_filter @ X
+        return jnp.transpose(Y, (1, 0, 2))
+
+
+class GaussIDLMA(IDLMABase):
+    """Gaussian IDLMA (``sss/idlma.py:89-245``)."""
+
+    def __init__(
+        self,
+        domain=2,
+        normalize="projection-back",
+        reference_id=0,
+        callback=None,
+        dnn_flooring=1e-5,
+        eps=EPS,
+        threshold=THRESHOLD,
+        guard="one_norm",
+        jax_dnn=False,
+    ):
+        super().__init__(
+            normalize=normalize, callback=callback, dnn_flooring=dnn_flooring, eps=eps
+        )
+        assert 1 <= domain <= 2, "1 <= `domain` <= 2 is not satisfied."
+        self.domain = domain
+        self.reference_id = reference_id
+        self.threshold = threshold
+        self.guard = guard
+        self.jax_dnn = jax_dnn
+
+    # ------------------------------------------------------------------ #
+    # device stages
+    # ------------------------------------------------------------------ #
+    def _power(self, X, W):
+        return jnp.abs(self.separate(X, W)) ** 2
+
+    def _spatial_and_normalize(self, X, W, dnn_output):
+        """IP spatial update + projection-back normalization
+        (``idlma.py:141-210``)."""
+        domain, eps = self.domain, self.eps
+        R = floor_below(dnn_output ** (2 / domain), eps)  # (S, F, T)
+        U = weighted_covariance(X, 1.0 / R)
+        W = ip_update(W, U, threshold=self.threshold, guard=self.guard)
+        Y = self.separate(X, W)
+
+        if self.normalize:
+            if self.normalize != "projection-back" and self.normalize is not True:
+                raise ValueError(
+                    "Not support normalization based on {}. Choose 'power' or "
+                    "'projection-back'".format(self.normalize)
+                )
+            scale = projection_back(Y, reference=X[self.reference_id])
+            Y = Y * scale[..., None]
+            # refit W to the normalized estimates (``idlma.py:154-157``)
+            Xb = jnp.transpose(X, (1, 0, 2))
+            X_h = jnp.swapaxes(Xb, -2, -1).conj()
+            XXh = Xb @ X_h
+            YXh = jnp.transpose(Y, (1, 0, 2)) @ X_h
+            W = jnp.swapaxes(
+                jnp.linalg.solve(XXh, jnp.swapaxes(YXh, -2, -1).conj()), -2, -1
+            ).conj()
+        else:
+            raise ValueError("Set normalize=True")
+        return W, Y
+
+    def _apply_dnn(self, P):
+        """``dnn_output = dnn(P^{d/2})^{2/d}-domain`` handling
+        (``idlma.py:212-225``), plus flooring."""
+        domain = self.domain
+        amp = P ** (domain / 2)
+        out = self.dnn(amp)
+        out = out ** (2 / domain)
+        if self.dnn_flooring:
+            out = (
+                jnp.maximum(out, self.dnn_flooring)
+                if isinstance(out, jnp.ndarray)
+                else np.maximum(out, self.dnn_flooring)
+            )
+        return out
+
+    def nll(self, state):
+        X, W = state["input"], state["demix_filter"]
+        n_frames = X.shape[-1]
+        Y = self.separate(X, W)
+        P = jnp.abs(Y) ** 2
+        R = floor_below(state["dnn_output"] ** (2 / self.domain), self.eps)
+        return jnp.sum(P / R + jnp.log(R)) - 2 * n_frames * jnp.sum(
+            jnp.log(jnp.abs(jnp.linalg.det(W)))
+        )
+
+    # ------------------------------------------------------------------ #
+    def __call__(self, input, iteration=100, dnn=None, **kwargs):
+        input = np.asarray(input)
+        self.input = input
+        n_channels, n_bins, n_frames = input.shape
+        self.n_sources = self.n_channels = n_channels
+        self.n_bins, self.n_frames = n_bins, n_frames
+        self.dnn = dnn
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+
+        W0 = np.tile(np.eye(n_channels, dtype=input.dtype), (n_bins, 1, 1))
+        dnn_output0 = np.ones((n_channels, n_bins, n_frames))
+
+        Xp = pack(input)
+        state = {
+            "input": Xp,
+            "demix_filter": pack(W0),
+            "dnn_output": jnp.asarray(dnn_output0),
+        }
+
+        nll_fn = self._get_jit("nll", lambda: lambda sp: self.nll(unpack(sp)))
+        self.loss.append(float(nll_fn(state)))
+
+        if self.jax_dnn and self.callback is None:
+            run = self._get_jit(
+                "scan:{}".format(iteration), lambda: self._jax_scan_fn(iteration)
+            )
+            state, losses = run(state)
+            self.loss.extend(np.asarray(jax.device_get(losses)).tolist())
+        else:
+            power_fn = self._get_jit(
+                "power",
+                lambda: lambda sp: self._power(
+                    unpack(sp["input"]), unpack(sp["demix_filter"])
+                ),
+            )
+            spatial_fn = self._get_jit(
+                "spatial",
+                lambda: realify(
+                    lambda X, W, d: self._spatial_and_normalize(X, W, d)
+                ),
+            )
+            for _ in range(iteration):
+                P = np.asarray(jax.device_get(power_fn(state)))
+                dnn_output = np.asarray(self._apply_dnn(P))
+                state["dnn_output"] = jnp.asarray(dnn_output)
+                W, Y = spatial_fn(
+                    state["input"], state["demix_filter"], state["dnn_output"]
+                )
+                state["demix_filter"] = W
+                state["estimation"] = Y
+                self.loss.append(float(nll_fn(state)))
+                if self.callback is not None:
+                    self._sync_attributes(state)
+                    self.callback(self)
+
+        host = to_host(state)
+        self.demix_filter = host["demix_filter"]
+        self.dnn_output = host["dnn_output"]
+
+        def final(X, W):
+            Y = self.separate(X, W)
+            scale = projection_back(Y, reference=X[self.reference_id])
+            return Y * scale[..., None]
+
+        finalize = self._get_jit("final", lambda: realify(final))
+        output = to_host(finalize(state["input"], state["demix_filter"]))
+        self.estimation = output
+        return output
+
+    def _jax_scan_fn(self, iteration):
+        def run(sp):
+            X = unpack(sp["input"])
+
+            def body(carry, _):
+                W, dnn_output = carry
+                P = self._power(X, W)
+                dnn_output = self._apply_dnn(P)
+                W, Y = self._spatial_and_normalize(X, W, dnn_output)
+                nll = self.nll(
+                    {"input": X, "demix_filter": W, "dnn_output": dnn_output}
+                )
+                return (W, dnn_output), nll
+
+            (W, dnn_output), losses = jax.lax.scan(
+                body,
+                (unpack(sp["demix_filter"]), sp["dnn_output"]),
+                None,
+                length=iteration,
+            )
+            return (
+                dict(sp, demix_filter=pack(W), dnn_output=dnn_output),
+                losses,
+            )
+
+        return run
+
+    def __repr__(self):
+        return "GaussIDLMA(domain={}, normalize={})".format(
+            self.domain, self.normalize
+        )

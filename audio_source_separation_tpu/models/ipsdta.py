@@ -1,0 +1,647 @@
+"""Independent positive semidefinite tensor analysis (IPSDTA).
+
+Parity targets (reference ``src/bss/ipsdta.py``):
+  * ``GaussIPSDTA`` (``ipsdta.py:155-1081``) — block-diagonal
+    frequency-covariance source model: bins partitioned into ``n_blocks``
+    blocks; basis = per-(source, basis, block) PSD matrices.  Two author
+    modes (``ipsdta.py:165-196``): **Ikeshita** = EM source update
+    (``:365-508``) + fixed-point spatial update with the auxiliary ``Lambda``
+    (``:690-818``); **Kondo** = MM source update with matrix-square-root
+    chains ``U ← U S^{1/2}(S^{1/2} U T U S^{1/2})^{-1/2} S^{1/2} U``
+    (``:510-623``) + VCD (vector-wise coordinate descent) spatial update with
+    the ``η/η̂`` root formula (``:820-975``); trace normalization
+    (``:977-1005``); NLL with block log-dets via ``eigvalsh`` (``:1015-1081``).
+  * ``tIPSDTA`` (``ipsdta.py:1083-1899``) — Student-t variant (Kondo MM+VCD
+    only) with the posterior weight ``π = (ν+2F)/(ν + 2·y^H R^{-1} y)``.
+
+TPU design decisions (documented divergences are representational only —
+the math is the same):
+  * the reference's dual low/high block code paths become ONE uniform padded
+    block layout with masking (:class:`~audio_source_separation_tpu.ops.blocks.BlockLayout`);
+    basis is exposed as a single padded array
+    ``(n_sources, n_blocks, block_size, block_size, n_basis)``;
+  * the reference materializes six-dimensional
+    ``(S, K, T, blocks, B, B)`` intermediates (``ipsdta.py:385-386``); here
+    every EM/MM statistic is re-expressed as an einsum over the posterior
+    quantities ``z = R^{-1} y`` — closed forms
+    ``U_new = U A U + U`` with ``A = mean_t V (z z^H − R^{-1})`` for the EM
+    basis step, and ``tr(U^{-1}Φ) = V² z^H U z + V·B − V² tr(R^{-1}U)`` for
+    the EM activation step — which are algebraically identical to the
+    reference's updates but never build the rank-6 tensor;
+  * matrix square roots / inverse square roots go through Hermitian ``eigh``
+    with the reference's clip-at-zero + ``to_PSD`` guard chain.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..algorithm.projection_back import projection_back
+from ..ops.blocks import BlockLayout
+from ..runtime.solver import IterativeSolver
+from ..utils.flooring import floor_below
+from ..utils.linalg import to_psd
+from .iva import IVABase
+
+EPS = 1e-12
+
+__authors_ipsdta__ = ["ikeshita", "kondo"]
+
+__kwargs_ikeshita_ipsdta__ = {"n_blocks": 1024, "spatial_iteration": 1}
+__kwargs_kondo_ipsdta__ = {"n_blocks": 1024, "spatial_iteration": 10}
+
+
+def _psd_sqrt(M, layout, eps=EPS):
+    """``M^{1/2}`` via eigh with clip-at-zero, then to_PSD — the reference's
+    chain (``ipsdta.py:546-558``), on identity-padded blocks."""
+    w, v = jnp.linalg.eigh(M)
+    w = jnp.sqrt(jnp.maximum(w, 0))
+    S = (v * w[..., None, :]) @ jnp.swapaxes(v, -2, -1).conj()
+    return to_psd(S, eps=eps)
+
+
+class IPSDTABase(IVABase):
+    """Shared IPSDTA machinery (``bss/ipsdta.py:22-153``)."""
+
+    state_fields = (
+        "demix_filter",
+        "estimation",
+        "basis",
+        "activation",
+        "fixed_point",
+    )
+
+    def __init__(
+        self,
+        n_basis=10,
+        normalize=True,
+        callbacks=None,
+        reference_id=0,
+        recordable_loss=True,
+        eps=EPS,
+    ):
+        super().__init__(callbacks=callbacks, recordable_loss=recordable_loss, eps=eps)
+        self.n_basis = n_basis
+        self.normalize = normalize
+        self.reference_id = reference_id
+
+
+class GaussIPSDTA(IPSDTABase):
+    """Gaussian IPSDTA (``bss/ipsdta.py:155-1081``)."""
+
+    def __init__(
+        self,
+        n_basis=10,
+        spatial_iteration=None,
+        normalize=True,
+        callbacks=None,
+        reference_id=0,
+        author="Kondo",
+        recordable_loss=True,
+        eps=EPS,
+        **kwargs,
+    ):
+        super().__init__(
+            n_basis=n_basis,
+            normalize=normalize,
+            callbacks=callbacks,
+            reference_id=reference_id,
+            recordable_loss=recordable_loss,
+            eps=eps,
+        )
+        self.author = author
+        if author.lower() == "ikeshita":
+            defaults = __kwargs_ikeshita_ipsdta__
+            self.algorithm_source = "em"
+            self.algorithm_spatial = "fixed-point"
+        elif author.lower() == "kondo":
+            defaults = __kwargs_kondo_ipsdta__
+            self.algorithm_source = "mm"
+            self.algorithm_spatial = "vcd"
+        else:
+            raise ValueError("Not support {}'s IPSDTA".format(author))
+        if set(kwargs) - set(defaults):
+            raise ValueError("Invalid keywords.")
+        for key, value in defaults.items():
+            setattr(self, key, value)
+        for key, value in kwargs.items():
+            setattr(self, key, value)
+        if spatial_iteration is not None:
+            self.spatial_iteration = spatial_iteration
+
+    # ------------------------------------------------------------------ #
+    # init
+    # ------------------------------------------------------------------ #
+    def _layout(self, n_bins):
+        layout = getattr(self, "_cached_layout", None)
+        if layout is None or layout.n_bins != n_bins:
+            n_blocks = min(self.n_blocks, n_bins)
+            layout = BlockLayout(n_bins, n_blocks)
+            self._cached_layout = layout
+        return layout
+
+    def prepare_state_kwargs(self, input, state_kwargs):
+        n_channels, n_bins, n_frames = input.shape
+        n_sources = n_channels
+        layout = self._layout(n_bins)
+        K, B = self.n_basis, layout.block_size
+        r = layout.n_remains
+        s = layout.n_neighbors
+        nb = layout.n_blocks
+
+        if "basis" not in state_kwargs:
+            # diagonal random PSD blocks, reference draw order (low then high,
+            # ``ipsdta.py:275-290``), packed into the uniform padded layout
+            U = np.zeros((n_sources, K, nb, B, B))
+            if r > 0:
+                low = np.random.rand(n_sources, K, nb - r, s)
+                high = np.random.rand(n_sources, K, r, s + 1)
+                for j in range(s):
+                    U[:, :, : nb - r, j, j] = low[..., j]
+                for j in range(s + 1):
+                    U[:, :, nb - r :, j, j] = high[..., j]
+            else:
+                diag = np.random.rand(n_sources, K, nb, s)
+                for j in range(s):
+                    U[:, :, :, j, j] = diag[..., j]
+            # public layout: (n_sources, n_blocks, B, B, n_basis)
+            state_kwargs["basis"] = U.transpose(0, 2, 3, 4, 1).astype(input.dtype)
+        if "activation" not in state_kwargs:
+            state_kwargs["activation"] = np.random.rand(n_sources, K, n_frames)
+        if self.algorithm_spatial == "fixed-point" and "fixed_point" not in state_kwargs:
+            state_kwargs["fixed_point"] = np.ones(
+                (n_sources, n_bins), dtype=input.dtype
+            )
+        return state_kwargs
+
+    def init_state(self, X, demix_filter=None, estimation=None, basis=None,
+                   activation=None, fixed_point=None):
+        state = super().init_state(X, demix_filter=demix_filter, estimation=estimation)
+        state["basis"] = basis
+        state["activation"] = activation
+        if fixed_point is not None:
+            state["fixed_point"] = fixed_point
+        if self.normalize:
+            state = self._normalize_psdtf(state)
+        return state
+
+    # ------------------------------------------------------------------ #
+    # shared block quantities
+    # ------------------------------------------------------------------ #
+    def _U_kmajor(self, state):
+        """basis in compute layout ``(S, K, n_blocks, B, B)``."""
+        return jnp.transpose(state["basis"], (0, 4, 1, 2, 3))
+
+    def _R_blocks(self, U, V, layout):
+        """``R = Σ_k U_k V_kt`` → ``(S, T, n_blocks, B, B)``, PSD-projected
+        with identity-padded diagonal."""
+        R = jnp.einsum("skbij,skt->stbij", U, V.astype(U.dtype))
+        R = to_psd(layout.pad_identity(R), eps=self.eps)
+        return R
+
+    def _y_blocks(self, Y, layout):
+        """estimates ``(S, F, T) → (S, T, n_blocks, B)`` zero-padded."""
+        Yt = jnp.transpose(Y, (0, 2, 1))  # (S, T, F)
+        return layout.gather(Yt)
+
+    # ------------------------------------------------------------------ #
+    # source model — EM (Ikeshita, ``ipsdta.py:365-508``)
+    # ------------------------------------------------------------------ #
+    def _update_source_em(self, state, layout):
+        eps = self.eps
+        U = self._U_kmajor(state)  # (S, K, nb, B, B)
+        V = state["activation"]  # (S, K, T)
+        X = state["input"]
+        Y = self.separate(X, state["demix_filter"])
+        y = self._y_blocks(Y, layout)  # (S, T, nb, B)
+        n_bins = X.shape[1]
+
+        R = self._R_blocks(U, V, layout)  # (S, T, nb, B, B)
+        inv_R = jnp.linalg.inv(R)
+        z = jnp.einsum("stbij,stbj->stbi", inv_R, y)  # R⁻¹ y
+
+        # --- basis:  U_new,k = U_k A_k U_k + U_k  with
+        # A_k = mean_t V_kt (z_t z_t^H − R_t⁻¹) — the closed form of the
+        # reference's mean_t Φ/V (Φ = ŷŷ^H + R̂; the V division cancels)
+        zz_minus = (
+            z[..., :, None] * z[..., None, :].conj() - inv_R
+        )  # (S, T, nb, B, B)
+        A = jnp.einsum(
+            "skt,stbij->skbij", V.astype(zz_minus.dtype), zz_minus
+        ) / V.shape[-1]
+        U_new = U @ A @ U + U
+        U_new = to_psd(layout.zero_padding_matrix(U_new), eps=eps)
+        U_new = layout.zero_padding_matrix(U_new)
+        state = dict(
+            state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1))
+        )
+
+        # --- activation: V_new = tr(U⁻¹Φ)/n_bins
+        #   = [V² Σ_b z^H U z + V·n_bins − V² Σ_b tr(R⁻¹U)] / n_bins
+        U = self._U_kmajor(state)
+        R = self._R_blocks(U, V, layout)
+        inv_R = jnp.linalg.inv(R)
+        z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
+        zUz = jnp.einsum("stbi,skbij,stbj->skt", z.conj(), U, z).real
+        trRU = jnp.einsum("stbij,skbji->skt", inv_R, U).real
+        V_new = (V**2 * zUz + V * n_bins - V**2 * trRU) / n_bins
+        V_new = jnp.maximum(V_new, 0.0)
+        return dict(state, activation=V_new)
+
+    # ------------------------------------------------------------------ #
+    # source model — MM (Kondo, ``ipsdta.py:510-688``)
+    # ------------------------------------------------------------------ #
+    def _update_source_mm(self, state, layout):
+        eps = self.eps
+        U = self._U_kmajor(state)
+        V = state["activation"]
+        X = state["input"]
+        Y = self.separate(X, state["demix_filter"])
+        y = self._y_blocks(Y, layout)
+
+        # --- basis (matrix-sqrt chain)
+        R = self._R_blocks(U, V, layout)
+        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
+        # RyyR = z z^H + eps·R⁻¹R⁻¹ (the reference adds eps·I to yy^H first)
+        RyyR = z[..., :, None] * z[..., None, :].conj() + eps * (inv_R @ inv_R)
+        Vc = V.astype(U.dtype)
+        S_k = jnp.einsum("skt,stbij->skbij", Vc, RyyR)
+        T_k = jnp.einsum("skt,stbij->skbij", Vc, inv_R)
+
+        sqrt_S = _psd_sqrt(to_psd(layout.pad_identity(S_k), eps=eps), layout, eps)
+        STUTS = to_psd(sqrt_S @ U @ T_k @ U @ sqrt_S, eps=eps)
+        sqrt_STUTS = _psd_sqrt(layout.pad_identity(STUTS), layout, eps)
+        inv_sqrt = to_psd(jnp.linalg.inv(sqrt_STUTS), eps=eps)
+        U_new = to_psd(U @ sqrt_S @ inv_sqrt @ sqrt_S @ U, eps=eps)
+        U_new = layout.zero_padding_matrix(U_new)
+        state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
+
+        # --- activation (trace ratio, ``ipsdta.py:625-688``)
+        U = self._U_kmajor(state)
+        R = self._R_blocks(U, V, layout)
+        yy = y[..., :, None] * y[..., None, :].conj()
+        yy = to_psd(layout.pad_identity(yy, scale=0.0) + eps * jnp.eye(layout.block_size, dtype=yy.dtype), eps=eps)
+        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        Ryy = inv_R @ yy
+        num = jnp.einsum("stbij,skbjl,stbli->skt", inv_R, U, Ryy).real
+        den = jnp.einsum("stbij,skbji->skt", inv_R, U).real
+        num = jnp.maximum(num, 0)
+        den = floor_below(den, eps)
+        V_new = V * jnp.sqrt(num / den)
+        return dict(state, activation=V_new)
+
+    # ------------------------------------------------------------------ #
+    # spatial model — VCD (Kondo, ``ipsdta.py:820-975``)
+    # ------------------------------------------------------------------ #
+    def _update_spatial_vcd(self, state, layout):
+        eps = self.eps
+        X = state["input"]  # (C, F, T)
+        W = state["demix_filter"]  # (F, N, C)
+        U = self._U_kmajor(state)
+        V = state["activation"]
+        n_sources, n_channels = W.shape[1], W.shape[2]
+        B = layout.block_size
+        n_frames = X.shape[-1]
+
+        # X in block layout: (T, nb, B, C), zero-padded
+        Xt = jnp.transpose(X, (2, 1, 0))  # (T, F, C)
+        Xb = layout.gather(jnp.moveaxis(Xt, -1, 0))  # (C, T, nb, B)
+        Xb = jnp.transpose(Xb, (1, 2, 3, 0))  # (T, nb, B, C)
+        # W in block layout: (nb, B, N, C); padded rows get identity rows so
+        # downstream solves stay well-posed (masked out at scatter)
+        Wb = layout.gather(jnp.transpose(W, (1, 2, 0)))  # (N, C, nb, B)
+        Wb = jnp.transpose(Wb, (2, 3, 0, 1))  # (nb, B, N, C)
+        eyeNC = jnp.eye(n_sources, n_channels, dtype=W.dtype)
+        invalid = (~layout.valid)[..., None, None]
+        Wb = jnp.where(invalid, eyeNC, Wb)
+
+        XX = Xb[..., :, None] * Xb[..., None, :].conj()  # (T, nb, B, C, C)
+
+        mask_offdiag = 1 - jnp.eye(B)
+
+        for n in range(n_sources):
+            U_n = U[n]  # (K, nb, B, B)
+            V_n = V[n]  # (K, T)
+            R_n = jnp.einsum("kbij,kt->tbij", U_n, V_n.astype(U_n.dtype))
+            R_n = to_psd(layout.pad_identity(R_n), eps=eps)
+            inv_R_n = to_psd(jnp.linalg.inv(R_n), eps=eps)  # (T, nb, B, B)
+            inv_R_diag = jnp.diagonal(inv_R_n, axis1=-2, axis2=-1).real  # (T, nb, B)
+
+            for j in range(B):
+                # current demixed projections  (nb, B', T)
+                w_n = Wb[:, :, n, :].conj()  # (nb, B', C)
+                Xw_n = jnp.einsum("tbic,bic->bit", Xb.conj(), w_n)
+
+                Q = jnp.einsum(
+                    "tb,tbcd->bcd", inv_R_diag[:, :, j], XX[:, :, j]
+                ) / n_frames  # (nb, C, C)
+                Q = to_psd(Q, eps=eps)
+
+                # gamma: cross-bin coupling within the block (off-diagonal)
+                # RXXw[b, i, c] = mean_t inv_R_n[t, b, j, i] X[t, b, j, c] Xw_n[b, i, t]
+                RXXw = jnp.einsum(
+                    "tbi,tbc,bit->bic", inv_R_n[:, :, :, j], Xb[:, :, j, :], Xw_n
+                ) / n_frames
+                gamma = jnp.einsum("i,bic->bc", mask_offdiag[j].astype(RXXw.real.dtype), RXXw)
+
+                WQ = Wb[:, j] @ Q  # (nb, N, C)
+                e_n = jnp.broadcast_to(
+                    eyeNC[n], (layout.n_blocks, n_channels)
+                )
+                zeta = jnp.linalg.solve(WQ, e_n[..., None])[..., 0]  # (nb, C)
+                zeta_hat = jnp.linalg.solve(Q, gamma[..., None])[..., 0]
+                eta = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta).real
+                eta_hat = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta_hat)
+
+                eta = floor_below(eta, eps)
+                small = jnp.abs(eta_hat) < eps
+                eta_hat_f = jnp.where(small, eps, eta_hat)
+                weight = (eta_hat_f / (2 * eta)) * (
+                    1 - jnp.sqrt(1 + 4 * eta / (jnp.abs(eta_hat_f) ** 2))
+                )
+                weight = jnp.where(small, 1 / jnp.sqrt(eta), weight)
+                w_new = weight[:, None] * zeta - zeta_hat
+                valid_j = layout.valid[:, j][:, None]
+                Wb = Wb.at[:, j, n, :].set(
+                    jnp.where(valid_j, w_new.conj(), Wb[:, j, n, :])
+                )
+
+        # scatter back to (F, N, C)
+        W_new = layout.scatter(jnp.transpose(Wb, (2, 3, 0, 1)))  # (N, C, F)
+        W_new = jnp.transpose(W_new, (2, 0, 1))
+        return dict(
+            state,
+            demix_filter=W_new,
+            estimation=self.separate(state["input"], W_new),
+        )
+
+    # ------------------------------------------------------------------ #
+    # spatial model — fixed point (Ikeshita, ``ipsdta.py:690-818``)
+    # ------------------------------------------------------------------ #
+    def _update_spatial_fixed_point(self, state, layout):
+        eps = self.eps
+        X = state["input"]
+        W = state["demix_filter"]  # (F, N, C) = W_Hermite rows
+        U = self._U_kmajor(state)
+        V = state["activation"]
+        Lambda = state["fixed_point"]  # (S, F)
+        n_sources, n_channels = W.shape[1], W.shape[2]
+        n_frames = X.shape[-1]
+        B = layout.block_size
+
+        R = self._R_blocks(U, V, layout)  # (S, T, nb, B, B)
+        inv_Rc = jnp.linalg.inv(R.conj() + eps * jnp.eye(B, dtype=R.dtype))
+
+        Xt = jnp.transpose(X, (2, 1, 0))  # (T, F, C)
+        Xb = layout.gather(jnp.moveaxis(Xt, -1, 0))  # (C, T, nb, B)
+        Xb = jnp.transpose(Xb, (1, 2, 3, 0))  # (T, nb, B, C)
+
+        # G[s, b, (j,c), (k,d)] = mean_t inv_Rc[s,t,b,j,k] X[t,b,j,c] X*[t,b,k,d]
+        G = jnp.einsum(
+            "stbjk,tbjc,tbkd->sbjckd", inv_Rc, Xb, Xb.conj()
+        ) / n_frames
+        G = G.reshape(
+            n_sources, layout.n_blocks, B * n_channels, B * n_channels
+        )
+        # identity-pad invalid (j, c) slots so G stays invertible
+        valid_jc = jnp.repeat(layout.valid, n_channels, axis=-1)  # (nb, B·C)
+        pad = (~valid_jc).astype(G.real.dtype)
+        G = to_psd(G, eps=eps) + pad[..., None] * jnp.eye(
+            B * n_channels, dtype=G.dtype
+        )
+        inv_G = jnp.linalg.inv(G)
+        inv_G6 = inv_G.reshape(n_sources, layout.n_blocks, B, n_channels, B, n_channels)
+        # inv_G_Hermite[s,b,j,k,c,d] = conj(inv_G[s,b,(k,d),(j,c)])
+        inv_G_H = jnp.transpose(inv_G6.conj(), (0, 1, 4, 2, 5, 3))
+        # → indexes [s, b, j, k, c, d]
+
+        A = jnp.linalg.inv(W)  # (F, C, S) mixing
+        A = jnp.transpose(A, (2, 0, 1))  # (S, F, C)
+        Ab = layout.gather(jnp.moveaxis(A, -1, 1))  # (S, C, nb, B)
+        Ab = jnp.transpose(Ab, (0, 2, 3, 1))  # (S, nb, B, C)
+
+        Bmat = jnp.einsum("sbjc,sbjkcd,sbkd->sbjk", Ab.conj(), inv_G_H, Ab)
+
+        Lb = layout.gather(Lambda)  # (S, nb, B)
+        denom = jnp.einsum("sbkj,sbk->sbj", Bmat, Lb.conj())
+        denom = jnp.where(jnp.abs(denom) < eps, eps, denom)
+        Lb_new = 1 / denom  # (S, nb, B)
+        Lb_new = layout.mask_vector(Lb_new)
+
+        # w[s,b,(j,c)] = Σ_{k,d} inv_G[(j,c),(k,d)] · Λ_new[k] · A[(k,d)]
+        w = jnp.einsum(
+            "sbjckd,sbk,sbkd->sbjc", inv_G6, Lb_new, Ab
+        )  # (S, nb, B, C)
+        W_rows = layout.scatter(jnp.transpose(w, (0, 3, 1, 2)))  # (S, C, F)
+        W_new = jnp.transpose(W_rows, (2, 0, 1)).conj()  # (F, S, C) Hermite rows
+
+        Lambda_new = layout.scatter(Lb_new)  # (S, F)
+        return dict(
+            state,
+            demix_filter=W_new,
+            fixed_point=Lambda_new,
+            estimation=self.separate(state["input"], W_new),
+        )
+
+    # ------------------------------------------------------------------ #
+    # normalization + NLL
+    # ------------------------------------------------------------------ #
+    def _normalize_psdtf(self, state):
+        """Trace normalization over blocks (``ipsdta.py:983-1005``)."""
+        U = self._U_kmajor(state)
+        V = state["activation"]
+        trace = jnp.trace(U, axis1=-2, axis2=-1).real.sum(axis=2)  # (S, K)
+        U = U / trace[:, :, None, None, None]
+        V = V * trace[:, :, None]
+        return dict(
+            state, basis=jnp.transpose(U, (0, 2, 3, 4, 1)), activation=V
+        )
+
+    def update_state(self, state):
+        layout = self._layout(state["input"].shape[1])
+        if self.algorithm_source == "em":
+            state = self._update_source_em(state, layout)
+        else:
+            state = self._update_source_mm(state, layout)
+        if self.normalize:
+            state = self._normalize_psdtf(state)
+        for _ in range(self.spatial_iteration):
+            if self.algorithm_spatial == "fixed-point":
+                state = self._update_spatial_fixed_point(state, layout)
+            else:
+                state = self._update_spatial_vcd(state, layout)
+        return state
+
+    def nll(self, state):
+        """``Σ(y^H R⁻¹ y + logdet R) − 2T Σ log|det W|`` with eigvalsh-floored
+        block log-dets (``ipsdta.py:1015-1081``)."""
+        eps = self.eps
+        layout = self._layout(state["input"].shape[1])
+        X, W = state["input"], state["demix_filter"]
+        n_frames = X.shape[-1]
+        Y = self.separate(X, W)
+        y = self._y_blocks(Y, layout)
+        U = self._U_kmajor(state)
+        V = state["activation"]
+
+        R = self._R_blocks(U, V, layout)
+        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
+        yRy = jnp.einsum("stbi,stbi->st", y.conj(), z).real
+
+        eigvals = jnp.maximum(jnp.linalg.eigvalsh(R), eps)
+        # padded dims contribute log(1) = 0 via the injected identity
+        logdet_R = jnp.log(eigvals).sum(axis=(-2, -1))  # (S, T)
+
+        logdet_W = jnp.log(jnp.abs(jnp.linalg.det(W)))
+        return jnp.sum(yRy + logdet_R) - 2 * n_frames * logdet_W.sum()
+
+    def finalize(self, state):
+        X = state["input"]
+        Y = self.separate(X, state["demix_filter"])
+        scale = projection_back(Y, reference=X[self.reference_id])
+        return Y * scale[..., None]
+
+    def __repr__(self):
+        return (
+            "Gauss-IPSDTA(n_basis={}, normalize={}, algorithm(source)={}, "
+            "algorithm(spatial)={}, n_blocks={}, author={})".format(
+                self.n_basis,
+                self.normalize,
+                self.algorithm_source,
+                self.algorithm_spatial,
+                self.n_blocks,
+                self.author,
+            )
+        )
+
+
+class TIPSDTA(GaussIPSDTA):
+    """Student-t IPSDTA (``bss/ipsdta.py:1083-1899``), Kondo MM+VCD only.
+
+    The Student-t posterior weight ``π = (ν + 2·n_bins) / (ν + 2·y^H R^{-1} y)``
+    (``ipsdta.py:1299, 1364``) scales the frame statistics in both the source
+    MM updates and the VCD spatial covariance.
+    """
+
+    def __init__(
+        self,
+        n_basis=10,
+        nu=1.0,
+        spatial_iteration=None,
+        normalize=True,
+        callbacks=None,
+        reference_id=0,
+        author="Kondo",
+        recordable_loss=True,
+        eps=EPS,
+        **kwargs,
+    ):
+        if author.lower() != "kondo":
+            raise ValueError("Only Kondo's (MM + VCD) t-IPSDTA is supported.")
+        super().__init__(
+            n_basis=n_basis,
+            spatial_iteration=spatial_iteration,
+            normalize=normalize,
+            callbacks=callbacks,
+            reference_id=reference_id,
+            author=author,
+            recordable_loss=recordable_loss,
+            eps=eps,
+            **kwargs,
+        )
+        self.nu = nu
+
+    def _pi_weight(self, state, layout):
+        """Posterior weights ``π (S, T)``."""
+        X, W = state["input"], state["demix_filter"]
+        n_bins = X.shape[1]
+        Y = self.separate(X, W)
+        y = self._y_blocks(Y, layout)
+        U = self._U_kmajor(state)
+        V = state["activation"]
+        R = self._R_blocks(U, V, layout)
+        z = jnp.einsum("stbij,stbj->stbi", jnp.linalg.inv(R), y)
+        yRy = jnp.einsum("stbi,stbi->st", y.conj(), z).real
+        return (self.nu + 2 * n_bins) / (self.nu + 2 * yRy)
+
+    def _update_source_mm(self, state, layout):
+        # the t-MM updates are the Gaussian updates with the per-frame
+        # posterior weight π applied to the data statistics (y y^H terms)
+        pi = self._pi_weight(state, layout)  # (S, T)
+        V = state["activation"]
+        eps = self.eps
+        U = self._U_kmajor(state)
+        X = state["input"]
+        Y = self.separate(X, state["demix_filter"])
+        y = self._y_blocks(Y, layout)
+
+        R = self._R_blocks(U, V, layout)
+        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
+        pi_c = pi.astype(U.dtype)
+        RyyR = z[..., :, None] * z[..., None, :].conj() * pi_c[:, :, None, None, None] \
+            + eps * (inv_R @ inv_R)
+        Vc = V.astype(U.dtype)
+        S_k = jnp.einsum("skt,stbij->skbij", Vc, RyyR)
+        T_k = jnp.einsum("skt,stbij->skbij", Vc, inv_R)
+
+        sqrt_S = _psd_sqrt(to_psd(layout.pad_identity(S_k), eps=eps), layout, eps)
+        STUTS = to_psd(sqrt_S @ U @ T_k @ U @ sqrt_S, eps=eps)
+        sqrt_STUTS = _psd_sqrt(layout.pad_identity(STUTS), layout, eps)
+        inv_sqrt = to_psd(jnp.linalg.inv(sqrt_STUTS), eps=eps)
+        U_new = to_psd(U @ sqrt_S @ inv_sqrt @ sqrt_S @ U, eps=eps)
+        U_new = layout.zero_padding_matrix(U_new)
+        state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
+
+        # activation with π-weighted numerator
+        U = self._U_kmajor(state)
+        R = self._R_blocks(U, V, layout)
+        yy = y[..., :, None] * y[..., None, :].conj() * pi_c[:, :, None, None, None]
+        yy = yy + eps * jnp.eye(layout.block_size, dtype=yy.dtype)
+        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        Ryy = inv_R @ yy
+        num = jnp.einsum("stbij,skbjl,stbli->skt", inv_R, U, Ryy).real
+        den = jnp.einsum("stbij,skbji->skt", inv_R, U).real
+        num = jnp.maximum(num, 0)
+        den = floor_below(den, eps)
+        V_new = V * jnp.sqrt(num / den)
+        return dict(state, activation=V_new)
+
+    def _update_spatial_vcd(self, state, layout):
+        pi = self._pi_weight(state, layout)  # (S, T)
+        # π scales the per-frame covariance statistics of the VCD update;
+        # implemented by temporarily scaling the source variances R⁻¹ → πR⁻¹,
+        # which is equivalent to dividing the activations by π per frame.
+        V = state["activation"]
+        pi_safe = jnp.maximum(pi, self.eps)
+        state_w = dict(state, activation=V / pi_safe[:, None, :])
+        new_state = GaussIPSDTA._update_spatial_vcd(self, state_w, layout)
+        return dict(new_state, activation=V)
+
+    def nll(self, state):
+        """t-NLL: ``Σ[(1+ν/2)·log(1 + 2/ν·y^H R⁻¹ y) + logdet R] − 2T log|det W|``."""
+        eps = self.eps
+        layout = self._layout(state["input"].shape[1])
+        X, W = state["input"], state["demix_filter"]
+        n_frames = X.shape[-1]
+        Y = self.separate(X, W)
+        y = self._y_blocks(Y, layout)
+        U = self._U_kmajor(state)
+        V = state["activation"]
+        R = self._R_blocks(U, V, layout)
+        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
+        yRy = jnp.einsum("stbi,stbi->st", y.conj(), z).real
+        eigvals = jnp.maximum(jnp.linalg.eigvalsh(R), eps)
+        logdet_R = jnp.log(eigvals).sum(axis=(-2, -1))
+        logdet_W = jnp.log(jnp.abs(jnp.linalg.det(W)))
+        nu = self.nu
+        return jnp.sum(
+            (1 + nu / 2) * jnp.log(1 + (2 / nu) * yRy) + logdet_R
+        ) - 2 * n_frames * logdet_W.sum()
+
+    def __repr__(self):
+        return "t-IPSDTA(n_basis={}, nu={}, n_blocks={}, author={})".format(
+            self.n_basis, self.nu, self.n_blocks, self.author
+        )

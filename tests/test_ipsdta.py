@@ -1,0 +1,147 @@
+"""IPSDTA tests: block layout correctness, loss decrease for both author
+modes (Kondo MM+VCD, Ikeshita EM+fixed-point), padded-block invariants, and
+separation quality."""
+
+import numpy as np
+import pytest
+
+from audio_source_separation_tpu.models import GaussIPSDTA, TIPSDTA
+from audio_source_separation_tpu.ops.blocks import BlockLayout
+from audio_source_separation_tpu.transform import stft, istft
+
+from conftest import synth_convolutive_mixture
+
+
+# --------------------------------------------------------------------------- #
+# BlockLayout
+# --------------------------------------------------------------------------- #
+def test_block_layout_uniform():
+    layout = BlockLayout(n_bins=12, n_blocks=4)
+    assert layout.n_neighbors == 3 and layout.n_remains == 0
+    assert layout.block_size == 3
+    x = np.arange(12.0)
+    blocked = np.asarray(layout.gather(x))
+    assert blocked.shape == (4, 3)
+    np.testing.assert_allclose(blocked.reshape(-1), x)
+    np.testing.assert_allclose(np.asarray(layout.scatter(blocked)), x)
+
+
+def test_block_layout_with_remains():
+    # 13 bins, 4 blocks: sizes 3,3,3,4 (reference: trailing blocks larger)
+    layout = BlockLayout(n_bins=13, n_blocks=4)
+    assert layout.n_neighbors == 3 and layout.n_remains == 1
+    assert layout.block_size == 4
+    assert list(layout.sizes) == [3, 3, 3, 4]
+    x = np.arange(13.0) + 1
+    blocked = np.asarray(layout.gather(x))
+    assert blocked.shape == (4, 4)
+    # padded slots are zero
+    assert blocked[0, 3] == 0 and blocked[2, 3] == 0
+    np.testing.assert_allclose(np.asarray(layout.scatter(blocked)), x)
+
+
+def test_block_layout_pad_identity():
+    import jax.numpy as jnp
+
+    layout = BlockLayout(n_bins=7, n_blocks=3)  # sizes 2,2,3, B=3
+    M = jnp.zeros((3, 3, 3))
+    P = np.asarray(layout.pad_identity(M))
+    # block 0 and 1 have padded slot at j=2
+    assert P[0, 2, 2] == 1.0 and P[1, 2, 2] == 1.0 and P[2, 2, 2] == 0.0
+    assert np.linalg.matrix_rank(P[0] + np.diag([1, 1, 0])) == 3
+
+
+# --------------------------------------------------------------------------- #
+# solvers
+# --------------------------------------------------------------------------- #
+def _mixture_spectrogram(rng, n_samples=8000, fft_size=64, hop_size=32):
+    mixture, images = synth_convolutive_mixture(rng, n_sources=2, n_samples=n_samples)
+    X = np.asarray(stft(mixture, fft_size=fft_size, hop_size=hop_size))
+    return mixture, images, X
+
+
+@pytest.mark.parametrize("n_blocks", [8, 11])  # 11 → non-uniform blocks (33 bins)
+def test_gauss_ipsdta_kondo_loss_decreases(rng, n_blocks):
+    mixture, images, X = _mixture_spectrogram(rng)
+    np.random.seed(111)
+    solver = GaussIPSDTA(
+        n_basis=2, author="Kondo", n_blocks=n_blocks, spatial_iteration=2
+    )
+    Y = solver(X, iteration=8)
+    losses = np.asarray(solver.loss)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert Y.shape == (2,) + X.shape[1:]
+
+
+def test_gauss_ipsdta_ikeshita_loss_decreases(rng):
+    mixture, images, X = _mixture_spectrogram(rng)
+    np.random.seed(111)
+    solver = GaussIPSDTA(n_basis=2, author="Ikeshita", n_blocks=8)
+    Y = solver(X, iteration=8)
+    losses = np.asarray(solver.loss)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def _si_sdr(e, t):
+    a = np.sum(e * t) / np.sum(t**2)
+    p = a * t
+    return 10 * np.log10(np.sum(p**2) / np.sum((e - p) ** 2))
+
+
+def _pair(est, images):
+    a = np.mean([_si_sdr(est[0], images[0]), _si_sdr(est[1], images[1])])
+    b = np.mean([_si_sdr(est[0], images[1]), _si_sdr(est[1], images[0])])
+    return max(a, b)
+
+
+def test_gauss_ipsdta_separates(rng):
+    mixture, images, X = _mixture_spectrogram(rng, n_samples=8000, fft_size=128, hop_size=64)
+    np.random.seed(111)
+    solver = GaussIPSDTA(
+        n_basis=2, author="Kondo", n_blocks=13, spatial_iteration=3,
+        recordable_loss=False,
+    )
+    Y = solver(X, iteration=15)
+    y = np.asarray(istft(Y, fft_size=128, hop_size=64, length=mixture.shape[-1]))
+    assert _pair(y, images) > _pair(mixture, images) + 2.0
+
+
+def test_ipsdta_basis_stays_psd_and_padded(rng):
+    mixture, images, X = _mixture_spectrogram(rng)
+    np.random.seed(111)
+    solver = GaussIPSDTA(n_basis=2, author="Kondo", n_blocks=11, spatial_iteration=1)
+    solver(X, iteration=3)
+    U = np.asarray(solver.basis)  # (S, nb, B, B, K)
+    layout = solver._layout(X.shape[1])
+    valid = np.asarray(layout.valid)
+    Uk = U.transpose(0, 4, 1, 2, 3)
+    # padded rows/cols are zero
+    for b in range(layout.n_blocks):
+        for j in range(layout.block_size):
+            if not valid[b, j]:
+                assert np.abs(Uk[:, :, b, j, :]).max() == 0
+                assert np.abs(Uk[:, :, b, :, j]).max() == 0
+    # valid sub-blocks are PSD
+    eig = np.linalg.eigvalsh(Uk + 1e-10 * np.eye(layout.block_size))
+    assert (eig > -1e-6).all()
+
+
+def test_tipsdta_loss_decreases(rng):
+    mixture, images, X = _mixture_spectrogram(rng)
+    np.random.seed(111)
+    solver = TIPSDTA(n_basis=2, nu=100.0, n_blocks=8, spatial_iteration=2)
+    Y = solver(X, iteration=6)
+    losses = np.asarray(solver.loss)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_ipsdta_invalid_author():
+    with pytest.raises(ValueError):
+        GaussIPSDTA(author="unknown")
+    with pytest.raises(ValueError):
+        GaussIPSDTA(author="Kondo", bogus=3)
+    with pytest.raises(ValueError):
+        TIPSDTA(author="Ikeshita")
