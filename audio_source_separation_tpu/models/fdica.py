@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..algorithm.permutation import solve_permutation
+from ..ops.fast_linalg import batched_log_abs_det
 from ..algorithm.projection_back import projection_back
 from ..ops.packing import jit_complex
 from ..utils.flooring import floor_below
@@ -33,7 +34,7 @@ class FDICABase(IVABase):
         X, W = state["input"], state["demix_filter"]
         Y = self.separate(X, W)
         loss = 2 * jnp.abs(Y).sum(axis=0).mean(axis=1) - 2 * jnp.log(
-            jnp.abs(jnp.linalg.det(W))
+            jnp.exp(batched_log_abs_det(W))
         )
         return loss.sum()
 

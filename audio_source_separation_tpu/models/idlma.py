@@ -24,6 +24,7 @@ import numpy as np
 
 from ..algorithm.projection_back import projection_back
 from ..ops.covariance import weighted_covariance
+from ..ops.fast_linalg import batched_log_abs_det
 from ..ops.ip import ip_update
 from ..ops.packing import pack, realify, to_host, unpack
 from ..runtime.solver import IterativeSolver
@@ -154,7 +155,7 @@ class GaussIDLMA(IDLMABase):
         P = jnp.abs(Y) ** 2
         R = floor_below(state["dnn_output"] ** (2 / self.domain), self.eps)
         return jnp.sum(P / R + jnp.log(R)) - 2 * n_frames * jnp.sum(
-            jnp.log(jnp.abs(jnp.linalg.det(W)))
+            batched_log_abs_det(W)
         )
 
     # ------------------------------------------------------------------ #

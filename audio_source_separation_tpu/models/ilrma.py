@@ -34,6 +34,7 @@ import numpy as np
 from ..algorithm.projection_back import projection_back
 from ..ops.covariance import weighted_covariance
 from ..ops.eig2 import generalized_eig2x2_descending
+from ..ops.fast_linalg import batched_log_abs_det
 from ..ops.ip import cond_guard, ip_update
 from ..ops.iss import iss_sweep
 from ..utils.flooring import floor_below
@@ -48,6 +49,7 @@ __algorithms_spatial__ = ["IP", "IVA", "ISS", "IPA", "pairwise", "IP1", "IP2"]
 class ILRMABase(IVABase):
     """Shared ILRMA machinery (``bss/ilrma.py:22-176``)."""
 
+    use_pair_products = True
     state_fields = (
         "demix_filter",
         "estimation",
@@ -306,7 +308,7 @@ class GaussILRMA(ILRMABase):
     def _update_spatial_ip(self, state):
         X, W = state["input"], state["demix_filter"]
         R = floor_below(self.source_variance(state), self.eps)
-        U = weighted_covariance(X, 1.0 / R)
+        U = self._weighted_covariance(state, 1.0 / R)
         W = ip_update(W, U, threshold=self.threshold, guard=self.guard)
         return dict(state, demix_filter=W, estimation=self.separate(X, W))
 
@@ -322,7 +324,7 @@ class GaussILRMA(ILRMABase):
         n_bins, n_channels = W.shape[0], W.shape[-1]
         R = floor_below(self.source_variance(state), self.eps)
         R_mn = jnp.stack([jnp.take(R, m, axis=0), jnp.take(R, n, axis=0)])
-        U_mn = weighted_covariance(X, 1.0 / R_mn)
+        U_mn = self._weighted_covariance(state, 1.0 / R_mn)
         U_m, U_n = U_mn[0], U_mn[1]
 
         eye = jnp.eye(n_channels, dtype=W.dtype)
@@ -429,7 +431,7 @@ class GaussILRMA(ILRMABase):
         P = jnp.abs(Y) ** 2
         R = floor_below(self.source_variance(state), self.eps)
         return jnp.sum(P / R + jnp.log(R)) - 2 * n_frames * jnp.sum(
-            jnp.log(jnp.abs(jnp.linalg.det(W)))
+            batched_log_abs_det(W)
         )
 
     def __repr__(self):
@@ -513,7 +515,7 @@ class TILRMA(ILRMABase):
         P = jnp.abs(Y) ** 2
         R = floor_below(self.source_variance(state), eps)
         Xi = (nu * R + 2 * P) / (nu + 2)
-        U = weighted_covariance(X, 1.0 / Xi)
+        U = self._weighted_covariance(state, 1.0 / Xi)
 
         n_sources = U.shape[0]
         for n in range(n_sources):
@@ -571,7 +573,7 @@ class TILRMA(ILRMABase):
         R = floor_below(self.source_variance(state), eps)
         return jnp.sum(
             (1 + nu / 2) * jnp.log(1 + (2 / nu) * (P / R)) + jnp.log(R)
-        ) - 2 * n_frames * jnp.sum(jnp.log(jnp.abs(jnp.linalg.det(W))))
+        ) - 2 * n_frames * jnp.sum(batched_log_abs_det(W))
 
     def __repr__(self):
         return (

@@ -37,6 +37,7 @@ import numpy as np
 
 from ..algorithm.projection_back import projection_back
 from ..ops.blocks import BlockLayout
+from ..ops.fast_linalg import batched_log_abs_det
 from ..runtime.solver import IterativeSolver
 from ..utils.flooring import floor_below
 from ..utils.linalg import to_psd
@@ -493,7 +494,7 @@ class GaussIPSDTA(IPSDTABase):
         # padded dims contribute log(1) = 0 via the injected identity
         logdet_R = jnp.log(eigvals).sum(axis=(-2, -1))  # (S, T)
 
-        logdet_W = jnp.log(jnp.abs(jnp.linalg.det(W)))
+        logdet_W = batched_log_abs_det(W)
         return jnp.sum(yRy + logdet_R) - 2 * n_frames * logdet_W.sum()
 
     def finalize(self, state):
@@ -635,7 +636,7 @@ class TIPSDTA(GaussIPSDTA):
         yRy = jnp.einsum("stbi,stbi->st", y.conj(), z).real
         eigvals = jnp.maximum(jnp.linalg.eigvalsh(R), eps)
         logdet_R = jnp.log(eigvals).sum(axis=(-2, -1))
-        logdet_W = jnp.log(jnp.abs(jnp.linalg.det(W)))
+        logdet_W = batched_log_abs_det(W)
         nu = self.nu
         return jnp.sum(
             (1 + nu / 2) * jnp.log(1 + (2 / nu) * yRy) + logdet_R

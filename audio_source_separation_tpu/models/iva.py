@@ -21,8 +21,13 @@ import jax.numpy as jnp
 
 from ..algorithm.projection_back import projection_back
 from ..ops.packing import jit_complex, realify, to_host
-from ..ops.covariance import weighted_covariance
+from ..ops.covariance import (
+    pair_products,
+    weighted_covariance,
+    weighted_covariance_from_pairs,
+)
 from ..ops.eig2 import generalized_eig2x2_descending
+from ..ops.fast_linalg import batched_log_abs_det
 from ..ops.ip import cond_guard, ip_update
 from ..ops.iss import iss_sweep
 from ..runtime.solver import IterativeSolver
@@ -70,6 +75,11 @@ class IVABase(IterativeSolver):
         W = jnp.eye(n_channels, n_channels, dtype=X.dtype)
         return jnp.tile(W, (n_bins, 1, 1))
 
+    # solvers whose updates accumulate weighted covariances set this to True;
+    # the channel pair products are then precomputed once per run and every
+    # covariance accumulation becomes a single GEMM over the frame axis
+    use_pair_products = False
+
     def init_state(self, X, demix_filter=None, estimation=None):
         n_channels, n_bins, n_frames = X.shape
         self.n_sources = self.n_channels = n_channels
@@ -82,7 +92,15 @@ class IVABase(IterativeSolver):
             estimation = self.separate(X, demix_filter)
         else:
             estimation = jnp.asarray(estimation, dtype=X.dtype)
-        return {"input": X, "demix_filter": demix_filter, "estimation": estimation}
+        state = {"input": X, "demix_filter": demix_filter, "estimation": estimation}
+        if self.use_pair_products:
+            state["pair_products"] = pair_products(X)
+        return state
+
+    def _weighted_covariance(self, state, inv_weights):
+        if "pair_products" in state:
+            return weighted_covariance_from_pairs(state["pair_products"], inv_weights)
+        return weighted_covariance(state["input"], inv_weights)
 
     def __repr__(self):
         return "IVA()"
@@ -125,7 +143,7 @@ class GradIVABase(IVABase):
         P = jnp.sum(jnp.abs(Y) ** 2, axis=1)  # (N, T)
         return (
             2 * jnp.sqrt(P).sum(axis=0).mean()
-            - 2 * jnp.log(jnp.abs(jnp.linalg.det(W))).sum()
+            - 2 * batched_log_abs_det(W).sum()
         )
 
     def __repr__(self):
@@ -186,6 +204,7 @@ class AuxIVABase(IVABase):
     """
 
     state_fields = ("demix_filter", "estimation", "step_count")
+    use_pair_products = True
 
     def __init__(
         self,
@@ -244,15 +263,15 @@ class AuxIVABase(IVABase):
     def _update_ip(self, state):
         X, W, Y = state["input"], state["demix_filter"], state["estimation"]
         R = floor_below(self.source_weights(Y), self.eps)  # (N, T)
-        U = weighted_covariance(X, 1.0 / R)  # (N, F, C, C)
+        U = self._weighted_covariance(state, 1.0 / R)  # (N, F, C, C)
         W = ip_update(W, U, threshold=self.threshold, guard=self.guard)
-        return {"input": X, "demix_filter": W, "estimation": self.separate(X, W)}
+        return dict(state, demix_filter=W, estimation=self.separate(X, W))
 
     def _update_iss(self, state):
         X, Y = state["input"], state["estimation"]
         R = floor_below(self.source_weights(Y), self.eps)
         Y = iss_sweep(Y, 1.0 / R)
-        return {"input": X, "estimation": Y}
+        return dict(state, estimation=Y)
 
     def _update_pairwise(self, state):
         X, W, Y = state["input"], state["demix_filter"], state["estimation"]
@@ -265,7 +284,7 @@ class AuxIVABase(IVABase):
         Y_n = jnp.take(Y, n, axis=0)
         R_mn = self.source_weights(jnp.stack([Y_m, Y_n], axis=0))  # (2, T)
         R_mn = floor_below(R_mn, self.eps)
-        U_mn = weighted_covariance(X, 1.0 / R_mn)  # (2, F, C, C)
+        U_mn = self._weighted_covariance(state, 1.0 / R_mn)  # (2, F, C, C)
         U_m, U_n = U_mn[0], U_mn[1]
 
         n_bins, n_channels = W.shape[0], W.shape[-1]
@@ -295,12 +314,12 @@ class AuxIVABase(IVABase):
         W = W.at[:, m, :].set(jnp.where(ok_m[:, None], w_m, W[:, m, :]))
         W = W.at[:, n, :].set(jnp.where(ok_n[:, None], w_n, W[:, n, :]))
 
-        return {
-            "input": X,
-            "demix_filter": W,
-            "estimation": self.separate(X, W),
-            "step_count": k + 1,
-        }
+        return dict(
+            state,
+            demix_filter=W,
+            estimation=self.separate(X, W),
+            step_count=k + 1,
+        )
 
     def _materialized_filter(self, state):
         if "demix_filter" in state:
@@ -353,7 +372,7 @@ class AuxLaplaceIVA(AuxIVABase):
         n_frames = X.shape[-1]
         P = jnp.sum(jnp.abs(Y) ** 2, axis=1)
         R = 2 * jnp.sqrt(P)
-        return R.sum() - 2 * n_frames * jnp.log(jnp.abs(jnp.linalg.det(W))).sum()
+        return R.sum() - 2 * n_frames * batched_log_abs_det(W).sum()
 
     def __repr__(self):
         return "AuxLaplaceIVA(algorithm_spatial={})".format(self.algorithm_spatial)

@@ -39,6 +39,7 @@ import numpy as np
 from ..algorithm.linalg import solve_riccati
 from ..criterion.divergence import logdet_divergence
 from ..ops.ip import cond_guard
+from ..ops.fast_linalg import batched_det
 from ..runtime.solver import IterativeSolver
 from ..utils.flooring import floor_below
 from ..utils.linalg import to_psd
@@ -597,7 +598,7 @@ class FastMultichannelISNMF(MultichannelNMFBase):
         Q = state["diagonalizer"]
         x_tilde = self._qx_power(state) + eps
         y_tilde = self._model_power(state) + eps
-        detQQ = jnp.abs(jnp.linalg.det(Q @ jnp.swapaxes(Q, -2, -1)))
+        detQQ = jnp.abs(batched_det(Q @ jnp.swapaxes(Q, -2, -1)))
         return jnp.sum(x_tilde / y_tilde + jnp.log(y_tilde)) - n_frames * jnp.sum(
             jnp.log(detQQ)
         )

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..algorithm.projection_back import projection_back
+from ..ops.fast_linalg import batched_log_abs_det
 from ..runtime.solver import IterativeSolver
 
 EPS = 1e-12
@@ -119,7 +120,7 @@ class PDSBSSBase(IterativeSolver):
 
     def nll(self, state):
         W = state["demix_filter"]
-        neg_logdet = -jnp.log(jnp.abs(jnp.linalg.det(W))).sum()
+        neg_logdet = -batched_log_abs_det(W).sum()
         return self.compute_penalty(state) + neg_logdet
 
     def finalize(self, state):

@@ -32,6 +32,36 @@ def weighted_covariance(X, weights):
     return U / n_frames
 
 
+def pair_products(X):
+    """Precompute the channel pair products ``PP[c, d, f, t] = x_c x_d^*``.
+
+    ``X`` is constant across solver iterations, so the outer products can be
+    computed once and reused: every later weighted-covariance accumulation
+    becomes a single GEMM over the frame axis (see
+    :func:`weighted_covariance_from_pairs`).  Memory: ``C²·F·T`` complex —
+    ~31 MB for C=2, F=2049, T=469 (complex64).
+    """
+    return X[:, None] * X[None].conj()  # (C, C, F, T)
+
+
+def weighted_covariance_from_pairs(PP, weights):
+    """Weighted covariance from precomputed pair products.
+
+    For IVA-style ``weights (n_sources, n_frames)`` this is one
+    ``(C²·F, T) × (T, N)`` matmul — ideal MXU shape; for ILRMA-style
+    ``weights (n_sources, n_bins, n_frames)`` it is a bin-batched GEMM.
+
+    Returns ``U (n_sources, n_bins, C, C)``.
+    """
+    n_frames = PP.shape[-1]
+    w = weights.astype(PP.real.dtype)
+    if w.ndim == 2:
+        U = jnp.einsum("cdft,nt->nfcd", PP, w, optimize=True)
+    else:
+        U = jnp.einsum("cdft,nft->nfcd", PP, w, optimize=True)
+    return U / n_frames
+
+
 def spatial_covariance(X):
     """Unweighted per-bin spatial covariance ``(n_bins, C, C)`` (mean over frames)."""
     n_frames = X.shape[-1]

@@ -19,6 +19,8 @@ semantics) and offer exact SVD parity via ``guard='svd'``.
 
 import jax.numpy as jnp
 
+from .fast_linalg import batched_inv
+
 
 def cond_guard(A, A_inv=None, threshold=1e12, guard="one_norm"):
     """Boolean mask (batched over leading axes): True where ``A`` is
@@ -31,7 +33,7 @@ def cond_guard(A, A_inv=None, threshold=1e12, guard="one_norm"):
         return cond < threshold
     if guard == "one_norm":
         if A_inv is None:
-            A_inv = jnp.linalg.inv(A)
+            A_inv = batched_inv(A)
         norm = jnp.max(jnp.sum(jnp.abs(A), axis=-2), axis=-1)
         inv_norm = jnp.max(jnp.sum(jnp.abs(A_inv), axis=-2), axis=-1)
         return norm * inv_norm < threshold
@@ -52,7 +54,7 @@ def ip_update(W, U, threshold=1e12, guard="one_norm"):
     for n in range(n_sources):
         U_n = U[n]  # (n_bins, C, C)
         WU = W @ U_n  # (n_bins, n_sources, C)
-        WU_inv = jnp.linalg.inv(WU)
+        WU_inv = batched_inv(WU)
         w_n = WU_inv[..., :, n]  # = solve(WU, e_n): (n_bins, C)
         ok = cond_guard(WU, WU_inv, threshold=threshold, guard=guard)
         wUw = jnp.einsum("fc,fcd,fd->f", w_n.conj(), U_n, w_n)

@@ -22,28 +22,39 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 import numpy as np
 
-from ..ops.covariance import weighted_covariance
+from ..ops.covariance import (
+    pair_products,
+    weighted_covariance,
+    weighted_covariance_from_pairs,
+)
+from ..ops.fast_linalg import batched_log_abs_det
 from ..ops.ip import ip_update
 
 
-def auxiva_ip_step(X, W, eps=1e-8, threshold=1e12):
+def auxiva_ip_step(X, W, PP=None, eps=1e-8, threshold=1e12):
     """One AuxIVA-IP iteration as a pure function (single mixture).
 
     Args:
         X: ``(n_channels, n_bins, n_frames)`` complex mixture.
         W: ``(n_bins, n_sources, n_channels)`` demixing filters.
+        PP: optional precomputed channel pair products (see
+            :func:`~audio_source_separation_tpu.ops.covariance.pair_products`);
+            pass it when iterating so the weighted covariance is a single GEMM.
     Returns:
         ``(W_new, nll)``.
     """
     Y = jnp.einsum("fnc,cft->nft", W, X)
     P_ = jnp.abs(Y) ** 2
     R = jnp.maximum(jnp.sqrt(P_.sum(axis=1)), eps)  # (N, T)
-    U = weighted_covariance(X, 1.0 / R)
+    if PP is None:
+        U = weighted_covariance(X, 1.0 / R)
+    else:
+        U = weighted_covariance_from_pairs(PP, 1.0 / R)
     W = ip_update(W, U, threshold=threshold)
     Y = jnp.einsum("fnc,cft->nft", W, X)
     n_frames = X.shape[-1]
     nll = (2 * jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2, axis=1))).sum() - 2 * n_frames * (
-        jnp.log(jnp.abs(jnp.linalg.det(W))).sum()
+        batched_log_abs_det(W).sum()
     )
     return W, nll
 

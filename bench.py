@@ -89,12 +89,15 @@ def bench_jax(X):
         ]
     )
 
+    from audio_source_separation_tpu.ops.covariance import pair_products
+
     @jax.jit
     def run(X2, W2):
         Xc = jax.lax.complex(X2[0], X2[1])
+        PP = pair_products(Xc)  # loop-invariant: computed once per run
 
         def body(W, _):
-            W, nll = auxiva_ip_step(Xc, W)
+            W, nll = auxiva_ip_step(Xc, W, PP=PP)
             return W, nll
 
         W, nlls = jax.lax.scan(
