@@ -129,3 +129,23 @@ class LDPSDTF(PSDTFBase):
         if self.normalize:
             basis, H = self._normalize(basis, H)
         return {"target": state["target"], "basis": basis, "activation": H}
+
+
+def nonparallel_inv(X, use_cholesky=True):
+    """Loop-based per-slice inverse (debugging utility; parity with the
+    reference's ``psdtf.py:182-207``).  Production code uses the batched
+    ``jnp.linalg.inv`` — this exists to cross-check individual slices."""
+    X = np.asarray(X)
+    n = X.shape[-1]
+    out = np.empty_like(X)
+    flat = X.reshape(-1, n, n)
+    flat_out = out.reshape(-1, n, n)
+    eye = np.eye(n, dtype=X.dtype)
+    for idx in range(flat.shape[0]):
+        if use_cholesky:
+            L = np.linalg.cholesky(flat[idx])
+            L_inv = np.linalg.solve(L, eye)
+            flat_out[idx] = L_inv.conj().T @ L_inv
+        else:
+            flat_out[idx] = np.linalg.inv(flat[idx])
+    return out

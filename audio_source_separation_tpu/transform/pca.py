@@ -20,6 +20,12 @@ def pca(input, n_sources=None):
     """
     if input.ndim != 3:
         raise ValueError("Invalid dimension.")
+    import jax
+
+    if not isinstance(input, jax.core.Tracer):
+        from ..ops.packing import jit_complex
+
+        return jit_complex(lambda X: pca(X, n_sources=n_sources))(input)
     X = jnp.transpose(input, (1, 2, 0))  # (n_bins, n_frames, n_channels)
     covariance = jnp.mean(
         X[:, :, :, None] * X[:, :, None, :].conj(), axis=1

@@ -17,8 +17,15 @@ scipy semantics reproduced:
     boundary padding is trimmed.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _is_tracing(*values):
+    return any(isinstance(v, jax.core.Tracer) for v in values)
 
 
 def build_window(fft_size, window_fn="hann", dtype=jnp.float64):
@@ -66,7 +73,15 @@ def stft(input, fft_size, hop_size=None, window_fn="hann", normalize=False):
         complex spectrogram ``(..., n_bins, n_frames)`` with
         ``n_bins = fft_size//2 + 1``, matching
         ``scipy.signal.stft(x, nperseg=fft_size, noverlap=fft_size-hop_size)``.
+
+    Inside ``jit`` this traces as pure jnp ops; called eagerly it runs jitted
+    with a real-valued boundary and returns host NumPy (the TPU runtime does
+    not support complex buffers at the executable boundary).
     """
+    if not _is_tracing(input):
+        return _eager_stft(
+            np.asarray(input), fft_size, hop_size, window_fn
+        )
     if hop_size is None:
         hop_size = fft_size // 2
     x = jnp.asarray(input)
@@ -99,7 +114,12 @@ def istft(input, fft_size, hop_size=None, window_fn="hann", normalize=False, len
             ``transform/stft.py:11-17`` truncates to ``length``).
     Returns:
         real signal ``(..., n_samples)``.
+
+    Eager calls run jitted with a real-pair input boundary and return host
+    NumPy (see :func:`stft`).
     """
+    if not _is_tracing(input):
+        return _eager_istft(input, fft_size, hop_size, window_fn, length)
     if hop_size is None:
         hop_size = fft_size // 2
     X = jnp.asarray(input)
@@ -126,3 +146,48 @@ def istft(input, fft_size, hop_size=None, window_fn="hann", normalize=False, len
     if length is not None:
         out = out[..., :length]
     return out
+
+
+# --------------------------------------------------------------------------- #
+# eager (host-boundary) paths
+# --------------------------------------------------------------------------- #
+@functools.lru_cache(maxsize=64)
+def _jitted_stft(fft_size, hop_size, window_fn):
+    from ..ops.packing import realify
+
+    return jax.jit(
+        realify(
+            lambda x: stft(x, fft_size=fft_size, hop_size=hop_size, window_fn=window_fn)
+        )
+    )
+
+
+def _eager_stft(x, fft_size, hop_size, window_fn):
+    from ..ops.packing import to_host
+
+    fn = _jitted_stft(fft_size, hop_size, window_fn)
+    return to_host(fn(x))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_istft(fft_size, hop_size, window_fn, length):
+    from ..ops.packing import realify
+
+    return jax.jit(
+        realify(
+            lambda X: istft(
+                X,
+                fft_size=fft_size,
+                hop_size=hop_size,
+                window_fn=window_fn,
+                length=length,
+            )
+        )
+    )
+
+
+def _eager_istft(X, fft_size, hop_size, window_fn, length):
+    from ..ops.packing import pack, to_host
+
+    fn = _jitted_istft(fft_size, hop_size, window_fn, length)
+    return to_host(fn(pack(np.asarray(X))))

@@ -1,0 +1,87 @@
+"""Observability callbacks (productized reference notebook patterns).
+
+The reference's only observability mechanism is callbacks invoked with the
+solver instance after init and every iteration (``bss/iva.py:76-89``); the
+notebooks use them for (a) per-iteration SDR-improvement tracking via
+kwargs-injected ground truth (``test_gauss-ilrma.ipynb`` cells 66-72), and
+(b) state snapshots to npz (cell 75, ``BasisActivationSaver``).  These are
+those two patterns as reusable classes, plus a loss logger.
+"""
+
+import os
+
+import numpy as np
+
+from .metrics import pit_si_sdr
+from ..transform.stft import istft
+
+
+class SDRImprovementCallback:
+    """Per-iteration PIT SI-SDR against ground-truth sources.
+
+    Equivalent of the notebooks' ``record_sdri`` callback: pass ground truth
+    at call time (``solver(X, iteration=N, callbacks=cb)``), read
+    ``cb.history`` afterwards.
+    """
+
+    def __init__(self, targets, fft_size, hop_size, length=None):
+        self.targets = np.asarray(targets)  # (n_sources, n_samples)
+        self.fft_size = fft_size
+        self.hop_size = hop_size
+        self.length = length if length is not None else self.targets.shape[-1]
+        self.history = []
+
+    def __call__(self, solver):
+        estimation = getattr(solver, "estimation", None)
+        if estimation is None:
+            return
+        y = np.asarray(
+            istft(
+                np.asarray(estimation),
+                fft_size=self.fft_size,
+                hop_size=self.hop_size,
+                length=self.length,
+            )
+        )
+        value, _ = pit_si_sdr(y, self.targets[:, : y.shape[-1]])
+        self.history.append(value)
+
+
+class StateSnapshotCallback:
+    """Write selected solver state arrays to ``.npz`` per iteration
+    (the notebooks' ``BasisActivationSaver``)."""
+
+    def __init__(self, directory, fields=("basis", "activation"), prefix="state"):
+        self.directory = directory
+        self.fields = fields
+        self.prefix = prefix
+        self.iteration = 0
+        os.makedirs(directory, exist_ok=True)
+
+    def __call__(self, solver):
+        payload = {}
+        for field in self.fields:
+            value = getattr(solver, field, None)
+            if value is not None:
+                payload[field] = np.asarray(value)
+        path = os.path.join(
+            self.directory, "{}_{}.npz".format(self.prefix, self.iteration)
+        )
+        np.savez(path, **payload)
+        self.iteration += 1
+
+
+class LossLogger:
+    """Print the latest recorded loss every ``stride`` iterations."""
+
+    def __init__(self, stride=10, printer=print):
+        self.stride = stride
+        self.printer = printer
+        self.iteration = 0
+
+    def __call__(self, solver):
+        if solver.loss and self.iteration % self.stride == 0:
+            self.printer(
+                "iteration {}: loss {:.6g}".format(self.iteration, solver.loss[-1])
+            )
+        self.iteration += 1

@@ -1,0 +1,118 @@
+"""Tests for metrics, callbacks, synthesis harness, and misc parity stubs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from audio_source_separation_tpu.utils import (
+    si_sdr,
+    pit_si_sdr,
+    si_sdr_improvement,
+    bss_eval_sources,
+    convolutive_mixture,
+    synthetic_room_impulse_responses,
+    SDRImprovementCallback,
+    StateSnapshotCallback,
+    LossLogger,
+    mu_law_compand,
+    inv_mu_law_compand,
+)
+from audio_source_separation_tpu.algorithm.ica import FixedPointICA
+from audio_source_separation_tpu.models.psdtf import nonparallel_inv
+
+
+def test_si_sdr_basic(rng):
+    t = rng.randn(1000)
+    np.testing.assert_allclose(float(si_sdr(3.0 * t, t)), 160, atol=40)  # near-inf
+    noisy = t + 0.1 * rng.randn(1000)
+    value = float(si_sdr(noisy, t))
+    assert 15 < value < 25
+
+
+def test_pit_si_sdr_picks_best_permutation(rng):
+    a, b = rng.randn(500), rng.randn(500)
+    targets = np.stack([a, b])
+    estimates = np.stack([b + 0.01 * rng.randn(500), a + 0.01 * rng.randn(500)])
+    value, perm = pit_si_sdr(estimates, targets)
+    assert perm == (1, 0)
+    assert value > 30
+
+
+def test_si_sdr_improvement(rng):
+    a, b = rng.randn(500), rng.randn(500)
+    targets = np.stack([a, b])
+    mixture_ref = a + b
+    estimates = targets + 0.01 * rng.randn(2, 500)
+    gain = si_sdr_improvement(estimates, mixture_ref, targets)
+    assert gain > 20
+
+
+def test_bss_eval_sources_identity(rng):
+    refs = rng.randn(2, 2000)
+    sdr, sir, sar, perm = bss_eval_sources(refs, refs[::-1], filter_length=8)
+    assert (sdr > 80).all()
+    assert list(perm) == [1, 0]
+    # noisy estimates: sdr finite and ordered sensibly
+    ests = refs + 0.1 * rng.randn(2, 2000)
+    sdr, sir, sar, perm = bss_eval_sources(refs, ests, filter_length=8)
+    assert (sdr > 10).all() and (sir >= sdr - 1).all()
+
+
+def test_convolutive_mixture_shapes(rng):
+    sources = rng.randn(2, 4000)
+    rirs = synthetic_room_impulse_responses(2, 3, taps=32)
+    mixture, images = convolutive_mixture(sources, rirs)
+    assert mixture.shape == (3, 4000)
+    assert images.shape == (2, 3, 4000)
+    np.testing.assert_allclose(images.sum(axis=0), mixture)
+
+
+def test_callbacks_end_to_end(rng, tmp_path):
+    from audio_source_separation_tpu.models import GaussILRMA
+    from audio_source_separation_tpu.transform import stft
+
+    from conftest import synth_convolutive_mixture
+
+    mixture, images = synth_convolutive_mixture(rng, n_sources=2, n_samples=4000)
+    fft_size, hop_size = 256, 128
+    X = stft(mixture, fft_size=fft_size, hop_size=hop_size)
+
+    printed = []
+    sdri = SDRImprovementCallback(
+        images, fft_size=fft_size, hop_size=hop_size, length=mixture.shape[-1]
+    )
+    snap = StateSnapshotCallback(str(tmp_path), fields=("basis", "activation"))
+    logger = LossLogger(stride=2, printer=printed.append)
+
+    np.random.seed(111)
+    solver = GaussILRMA(n_basis=2, callbacks=[sdri, snap, logger])
+    solver(X, iteration=4)
+
+    assert len(sdri.history) == 5  # init + 4 iterations
+    assert sdri.history[-1] >= sdri.history[0] - 1.0
+    files = sorted(os.listdir(tmp_path))
+    assert len(files) == 5
+    payload = np.load(os.path.join(tmp_path, files[-1]))
+    assert "basis" in payload and "activation" in payload
+    assert len(printed) >= 2
+
+
+def test_mu_law_roundtrip(rng):
+    x = np.clip(rng.randn(100) * 0.3, -1, 1)
+    y = mu_law_compand(x)
+    np.testing.assert_allclose(inv_mu_law_compand(y), x, atol=1e-12)
+
+
+def test_fixed_point_ica_stub():
+    ica = FixedPointICA(n_channels=4)
+    assert ica.demix_filter.shape == (4, 4)
+
+
+def test_nonparallel_inv(rng):
+    A = rng.randn(5, 3, 3)
+    A = A @ A.transpose(0, 2, 1) + 0.5 * np.eye(3)
+    np.testing.assert_allclose(nonparallel_inv(A), np.linalg.inv(A), atol=1e-8)
+    np.testing.assert_allclose(
+        nonparallel_inv(A, use_cholesky=False), np.linalg.inv(A), atol=1e-8
+    )
