@@ -581,8 +581,9 @@ class TIPSDTA(GaussIPSDTA):
         inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
         z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
         pi_c = pi.astype(U.dtype)
-        RyyR = z[..., :, None] * z[..., None, :].conj() * pi_c[:, :, None, None, None] \
-            + eps * (inv_R @ inv_R)
+        RyyR = (
+            z[..., :, None] * z[..., None, :].conj() + eps * (inv_R @ inv_R)
+        ) * pi_c[:, :, None, None, None]
         Vc = V.astype(U.dtype)
         S_k = jnp.einsum("skt,stbij->skbij", Vc, RyyR)
         T_k = jnp.einsum("skt,stbij->skbij", Vc, inv_R)

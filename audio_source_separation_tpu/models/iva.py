@@ -98,9 +98,11 @@ class IVABase(IterativeSolver):
         return state
 
     def _weighted_covariance(self, state, inv_weights):
-        if "pair_products" in state:
-            return weighted_covariance_from_pairs(state["pair_products"], inv_weights)
-        return weighted_covariance(state["input"], inv_weights)
+        from ..ops.covariance import weighted_covariance_auto
+
+        return weighted_covariance_auto(
+            state["input"], inv_weights, PP=state.get("pair_products")
+        )
 
     def __repr__(self):
         return "IVA()"

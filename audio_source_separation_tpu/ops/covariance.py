@@ -62,6 +62,26 @@ def weighted_covariance_from_pairs(PP, weights):
     return U / n_frames
 
 
+def weighted_covariance_auto(X, weights, PP=None, use_pallas=None):
+    """Backend-dispatched weighted covariance.
+
+    The fused Pallas kernel (pair products resident in VMEM) wins ~2.6× in
+    isolation but its call boundary prevents XLA from fusing the covariance
+    into the surrounding solver chain, costing ~17% end-to-end — so the
+    default is the pair-product GEMM / einsum, with the Pallas kernel opt-in
+    (``use_pallas=True``, TPU + per-(source, frame) weights only).
+    """
+    import jax
+
+    if use_pallas and weights.ndim == 2 and jax.default_backend() == "tpu":
+        from .pallas_kernels import weighted_covariance_pallas
+
+        return weighted_covariance_pallas(X, weights)
+    if PP is not None:
+        return weighted_covariance_from_pairs(PP, weights)
+    return weighted_covariance(X, weights)
+
+
 def spatial_covariance(X):
     """Unweighted per-bin spatial covariance ``(n_bins, C, C)`` (mean over frames)."""
     n_frames = X.shape[-1]

@@ -31,7 +31,7 @@ from ..ops.fast_linalg import batched_log_abs_det
 from ..ops.ip import ip_update
 
 
-def auxiva_ip_step(X, W, PP=None, eps=1e-8, threshold=1e12):
+def auxiva_ip_step(X, W, PP=None, eps=1e-8, threshold=1e12, use_pallas=False):
     """One AuxIVA-IP iteration as a pure function (single mixture).
 
     Args:
@@ -46,7 +46,15 @@ def auxiva_ip_step(X, W, PP=None, eps=1e-8, threshold=1e12):
     Y = jnp.einsum("fnc,cft->nft", W, X)
     P_ = jnp.abs(Y) ** 2
     R = jnp.maximum(jnp.sqrt(P_.sum(axis=1)), eps)  # (N, T)
-    if PP is None:
+    # Default is the XLA covariance path (pair-product GEMM): this step is
+    # also compiled under GSPMD sharding, where a Pallas call would force
+    # replication of its operands.  Single-device callers (bench) opt into
+    # the fused Pallas kernel with ``use_pallas=True``.
+    if use_pallas:
+        from ..ops.covariance import weighted_covariance_auto
+
+        U = weighted_covariance_auto(X, 1.0 / R, PP=PP, use_pallas=True)
+    elif PP is None:
         U = weighted_covariance(X, 1.0 / R)
     else:
         U = weighted_covariance_from_pairs(PP, 1.0 / R)

