@@ -218,3 +218,27 @@ class IterativeSolver:
     def _on_callback(self, state):
         for callback in self.callbacks:
             callback(self)
+
+    # ------------------------------------------------------------------ #
+    # checkpoint / resume
+    # ------------------------------------------------------------------ #
+    def save_state(self, path):
+        """Write the warm-startable state arrays to an ``.npz`` checkpoint.
+
+        The reference's resume mechanism is kwargs injection
+        (``bss/iva.py:53-58``); this persists exactly those arrays so
+        ``solver(X, iteration=N, **load_state(path))`` resumes a run.
+        """
+        payload = {}
+        for field in self.state_fields:
+            value = getattr(self, field, None)
+            if value is not None:
+                payload[field] = np.asarray(value)
+        np.savez(path, **payload)
+
+    @staticmethod
+    def load_state(path):
+        """Load a checkpoint written by :meth:`save_state` as warm-start
+        kwargs for ``__call__``."""
+        with np.load(path) as data:
+            return {k: data[k] for k in data.files}

@@ -116,3 +116,46 @@ def test_nonparallel_inv(rng):
     np.testing.assert_allclose(
         nonparallel_inv(A, use_cholesky=False), np.linalg.inv(A), atol=1e-8
     )
+
+
+def test_checkpoint_save_load_resume(rng, tmp_path):
+    from audio_source_separation_tpu.models import GaussILRMA
+    from conftest import make_mixture
+
+    X = make_mixture(rng, n_channels=2, n_bins=17, n_frames=24)
+    np.random.seed(111)
+    s1 = GaussILRMA(n_basis=3, recordable_loss=False)
+    s1(X, iteration=3)
+    ckpt = str(tmp_path / "state.npz")
+    s1.save_state(ckpt)
+
+    s2 = GaussILRMA(n_basis=3, recordable_loss=False)
+    s2(X, iteration=2, **GaussILRMA.load_state(ckpt))
+
+    np.random.seed(111)
+    s3 = GaussILRMA(n_basis=3, recordable_loss=False)
+    s3(X, iteration=5)
+    np.testing.assert_allclose(
+        np.asarray(s2.demix_filter), np.asarray(s3.demix_filter), atol=1e-8
+    )
+
+
+def test_benchmark_solver_runs(rng):
+    from audio_source_separation_tpu.models import AuxLaplaceIVA
+    from audio_source_separation_tpu.runtime import benchmark_solver
+    from conftest import make_mixture
+
+    X = make_mixture(rng, n_channels=2, n_bins=17, n_frames=24)
+    ips, compile_s = benchmark_solver(AuxLaplaceIVA(), X, iteration=5)
+    assert ips > 0 and compile_s > 0
+
+
+def test_iteration_timer(rng):
+    from audio_source_separation_tpu.models import AuxLaplaceIVA
+    from audio_source_separation_tpu.runtime import IterationTimer
+    from conftest import make_mixture
+
+    X = make_mixture(rng)
+    timer = IterationTimer()
+    AuxLaplaceIVA(callbacks=timer, recordable_loss=False)(X, iteration=3)
+    assert len(timer.durations) == 3
