@@ -67,6 +67,32 @@ def auxiva_ip_step(X, W, PP=None, eps=1e-8, threshold=1e12, use_pallas=False):
     return W, nll
 
 
+def auxiva_ip_step_carry(X, W, Y, PP=None, eps=1e-8, threshold=1e12, use_pallas=False):
+    """AuxIVA-IP iteration carrying the estimates ``Y`` through the scan —
+    saves one separation per iteration (``Y`` entering equals
+    ``separate(X, W)`` for the carried ``W``, exactly the reference's state).
+
+    Returns ``(W_new, Y_new, nll)``.
+    """
+    P_ = jnp.abs(Y) ** 2
+    R = jnp.maximum(jnp.sqrt(P_.sum(axis=1)), eps)  # (N, T)
+    if use_pallas:
+        from ..ops.covariance import weighted_covariance_auto
+
+        U = weighted_covariance_auto(X, 1.0 / R, PP=PP, use_pallas=True)
+    elif PP is None:
+        U = weighted_covariance(X, 1.0 / R)
+    else:
+        U = weighted_covariance_from_pairs(PP, 1.0 / R)
+    W = ip_update(W, U, threshold=threshold)
+    Y = jnp.einsum("fnc,cft->nft", W, X)
+    n_frames = X.shape[-1]
+    nll = (2 * jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2, axis=1))).sum() - 2 * n_frames * (
+        batched_log_abs_det(W).sum()
+    )
+    return W, Y, nll
+
+
 def auxiva_ip_step_stacked(X2, W2, eps=1e-8, threshold=1e12):
     """Real-boundary variant: complex arrays carried as a stacked leading
     (re, im) axis — ``X2 (2, C, F, T)``, ``W2 (2, F, N, C)`` — because the TPU

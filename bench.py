@@ -90,24 +90,26 @@ def bench_jax(X):
     )
 
     from audio_source_separation_tpu.ops.covariance import pair_products
+    from audio_source_separation_tpu.parallel.sharded import auxiva_ip_step_carry
 
     @jax.jit
     def run(X2, W2):
         Xc = jax.lax.complex(X2[0], X2[1])
         PP = pair_products(Xc)  # loop-invariant: computed once per run
+        W0 = jax.lax.complex(W2[0], W2[1])
+        Y0 = jnp.einsum("fnc,cft->nft", W0, Xc)
 
         # NOTE: the XLA pair-product GEMM path beats the fused Pallas kernel
         # end-to-end (1923 vs 2326 iters/s): the Pallas call boundary blocks
         # XLA from fusing the covariance into the surrounding IP chain, even
         # though the kernel wins 2.6x in isolation. ops/pallas_kernels.py
         # remains available via use_pallas=True.
-        def body(W, _):
-            W, nll = auxiva_ip_step(Xc, W, PP=PP)
-            return W, nll
+        def body(carry, _):
+            W, Y = carry
+            W, Y, nll = auxiva_ip_step_carry(Xc, W, Y, PP=PP)
+            return (W, Y), nll
 
-        W, nlls = jax.lax.scan(
-            body, jax.lax.complex(W2[0], W2[1]), None, length=ITERS
-        )
+        (W, _), nlls = jax.lax.scan(body, (W0, Y0), None, length=ITERS)
         return jnp.stack([W.real, W.imag]), nlls
 
     # warmup: compile + first device execution (the tunnel's one-time program
