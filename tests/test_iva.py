@@ -197,3 +197,43 @@ def test_extra_kwargs_become_attributes(rng):
     solver = AuxLaplaceIVA(callbacks=cb, recordable_loss=False)
     solver(X, iteration=2, sdri=sdri)
     assert solver.sdri is sdri and len(sdri) == 3
+
+
+def test_overdetermined_auxiva(rng):
+    """4 mics, 2 sources: PCA reduction + AuxIVA + projection back onto the
+    unreduced mixture (the reference's working overdetermined path)."""
+    from audio_source_separation_tpu.models import OverAuxLaplaceIVA
+    from conftest import synth_convolutive_mixture
+    from audio_source_separation_tpu.utils import convolutive_mixture, synthetic_room_impulse_responses
+    from audio_source_separation_tpu.transform import stft as _stft, istft as _istft
+
+    # 2 broadband sources at 4 mics
+    t = np.arange(8000) / 16000.0
+    srcs = []
+    for n, f in enumerate([3.0, 5.0]):
+        env = 0.5 * (1 + np.sign(np.sin(2 * np.pi * f * t + 0.7 * n)))
+        env = np.convolve(env, np.ones(64) / 64, mode="same")
+        srcs.append(env * rng.randn(8000))
+    srcs = np.stack(srcs)
+    rirs = synthetic_room_impulse_responses(2, 4, taps=8)
+    mixture, images = convolutive_mixture(srcs, rirs)
+
+    X = _stft(mixture, fft_size=512, hop_size=256)
+    solver = OverAuxLaplaceIVA(algorithm_spatial="IP", n_sources=2, recordable_loss=False)
+    Y = solver(np.asarray(X), iteration=25)
+    assert Y.shape[0] == 2
+    y = np.asarray(_istft(Y, fft_size=512, hop_size=256, length=mixture.shape[-1]))
+
+    refs = images[:, 0]  # images at mic 0
+    before = _best_pairing_sisdr(mixture[:2], refs)
+    after = _best_pairing_sisdr(y, refs)
+    assert after > before + 3.0, (before, after)
+
+
+def test_auxiva_ipa_raises(rng):
+    from conftest import make_mixture
+
+    X = make_mixture(rng, n_channels=2, n_bins=9, n_frames=16)
+    solver = AuxLaplaceIVA(algorithm_spatial="IPA", recordable_loss=False)
+    with pytest.raises(ValueError):
+        solver(X, iteration=1)
