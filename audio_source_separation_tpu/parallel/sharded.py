@@ -93,6 +93,34 @@ def auxiva_ip_step_carry(X, W, Y, PP=None, eps=1e-8, threshold=1e12, use_pallas=
     return W, Y, nll
 
 
+def auxiva_ip_step_binsmajor(Xf, W, Yf, PP, eps=1e-8, threshold=1e12):
+    """AuxIVA-IP iteration in bins-major layout — the zero-transpose hot loop.
+
+    All per-iteration tensors keep the frequency axis leading so every op is
+    either a bin-batched matmul or an elementwise/reduction over aligned
+    layouts (the ``(C, F, T) ⇄ (F, C, T)`` transposes of the public layout
+    would otherwise copy ~15 MB per iteration):
+
+    Args:
+        Xf: mixture ``(n_bins, n_channels, n_frames)``.
+        W: demixing filters ``(n_bins, n_sources, n_channels)``.
+        Yf: current estimates ``(n_bins, n_sources, n_frames)``.
+        PP: pair products ``(C, C, n_bins, n_frames)`` (loop-invariant).
+    Returns:
+        ``(W_new, Yf_new, nll)``.
+    """
+    n_frames = Xf.shape[-1]
+    P_ = jnp.abs(Yf) ** 2
+    R = jnp.maximum(jnp.sqrt(P_.sum(axis=0)), eps)  # (N, T)
+    U = weighted_covariance_from_pairs(PP, 1.0 / R)  # (N, F, C, C)
+    W = ip_update(W, U, threshold=threshold)
+    Yf = W @ Xf  # (F, N, T) — bin-batched matmul, no transposes
+    nll = (2 * jnp.sqrt(jnp.sum(jnp.abs(Yf) ** 2, axis=0))).sum() - 2 * n_frames * (
+        batched_log_abs_det(W).sum()
+    )
+    return W, Yf, nll
+
+
 def auxiva_ip_step_stacked(X2, W2, eps=1e-8, threshold=1e12):
     """Real-boundary variant: complex arrays carried as a stacked leading
     (re, im) axis — ``X2 (2, C, F, T)``, ``W2 (2, F, N, C)`` — because the TPU

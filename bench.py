@@ -90,14 +90,15 @@ def bench_jax(X):
     )
 
     from audio_source_separation_tpu.ops.covariance import pair_products
-    from audio_source_separation_tpu.parallel.sharded import auxiva_ip_step_carry
+    from audio_source_separation_tpu.parallel.sharded import auxiva_ip_step_binsmajor
 
     @jax.jit
     def run(X2, W2):
         Xc = jax.lax.complex(X2[0], X2[1])
         PP = pair_products(Xc)  # loop-invariant: computed once per run
+        Xf = jnp.transpose(Xc, (1, 0, 2))  # bins-major, once per run
         W0 = jax.lax.complex(W2[0], W2[1])
-        Y0 = jnp.einsum("fnc,cft->nft", W0, Xc)
+        Y0 = W0 @ Xf
 
         # NOTE: the XLA pair-product GEMM path beats the fused Pallas kernel
         # end-to-end (1923 vs 2326 iters/s): the Pallas call boundary blocks
@@ -106,7 +107,7 @@ def bench_jax(X):
         # remains available via use_pallas=True.
         def body(carry, _):
             W, Y = carry
-            W, Y, nll = auxiva_ip_step_carry(Xc, W, Y, PP=PP)
+            W, Y, nll = auxiva_ip_step_binsmajor(Xf, W, Y, PP)
             return (W, Y), nll
 
         (W, _), nlls = jax.lax.scan(body, (W0, Y0), None, length=ITERS)
