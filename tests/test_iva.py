@@ -237,3 +237,70 @@ def test_auxiva_ipa_raises(rng):
     solver = AuxLaplaceIVA(algorithm_spatial="IPA", recordable_loss=False)
     with pytest.raises(ValueError):
         solver(X, iteration=1)
+
+
+def numpy_auxiva_ip2_step(X, W, m, n, eps=EPS, threshold=1e12):
+    """Literal reference IP2 step (bss/iva.py:544-599) with np.linalg.eig."""
+    n_bins, _, n_channels = W.shape
+    W = W.copy()
+    Y = np.einsum("fnc,cft->nft", W, X)
+    Y_m, Y_n = Y[m], Y[n]
+    R_m = np.maximum(np.sqrt((np.abs(Y_m) ** 2).sum(axis=0)), eps)
+    R_n = np.maximum(np.sqrt((np.abs(Y_n) ** 2).sum(axis=0)), eps)
+    Xb = X.transpose(1, 2, 0)
+    XX = Xb[:, :, :, None] * Xb[:, :, None, :].conj()
+    U_m = (XX / R_m[None, :, None, None]).mean(axis=1)
+    U_n = (XX / R_n[None, :, None, None]).mean(axis=1)
+    e_m = np.zeros((n_bins, n_channels, 1))
+    e_n = np.zeros((n_bins, n_channels, 1))
+    e_m[:, m], e_n[:, n] = 1, 1
+    E_mn = np.concatenate([e_m, e_n], axis=2)
+    WU_m, WU_n = W @ U_m, W @ U_n
+    cond_m = np.linalg.cond(WU_m) < threshold
+    cond_n = np.linalg.cond(WU_n) < threshold
+    P_m, P_n = np.linalg.inv(WU_m) @ E_mn, np.linalg.inv(WU_n) @ E_mn
+    V_m = P_m.transpose(0, 2, 1).conj() @ U_m @ P_m
+    V_n = P_n.transpose(0, 2, 1).conj() @ U_n @ P_n
+    VV = np.linalg.inv(V_n) @ V_m
+    eigval, v = np.linalg.eig(VV)
+    order = np.argsort(eigval, axis=-1)[:, ::-1]
+    v_t = v.swapaxes(-2, -1)
+    v_sorted = np.take_along_axis(v_t, order[..., None], axis=-2)
+    v_m, v_n = v_sorted[:, 0], v_sorted[:, 1]
+    vVv_m = (v_m[:, None, :].conj() @ V_m @ v_m[:, :, None])[..., 0, 0]
+    vVv_n = (v_n[:, None, :].conj() @ V_n @ v_n[:, :, None])[..., 0, 0]
+    v_m = v_m / np.sqrt(vVv_m)[:, None]
+    v_n = v_n / np.sqrt(vVv_n)[:, None]
+    w_m = (P_m @ v_m[..., None])[..., 0].conj()
+    w_n = (P_n @ v_n[..., None])[..., 0].conj()
+    W[:, m, :] = np.where(cond_m[:, None], w_m, W[:, m, :])
+    W[:, n, :] = np.where(cond_n[:, None], w_n, W[:, n, :])
+    return W
+
+
+def test_auxiva_ip2_step_parity(rng):
+    """The closed-form 2x2 generalized eig must reproduce the reference's
+    np.linalg.eig-based IP2 row updates (up to the eigvec phase, which the
+    vVv normalization + conj cancels except for a unit phase on w; compare
+    the separation-relevant quantity |w^H x| and the NLL instead)."""
+    import jax.numpy as jnp
+
+    X = make_mixture(rng, n_channels=2, n_bins=9, n_frames=32)
+    solver = AuxLaplaceIVA(algorithm_spatial="IP2", recordable_loss=False, guard="svd")
+    state = solver.init_state(X)
+    new_state = solver.update_state(state)
+    W_jax = np.asarray(new_state["demix_filter"])
+    W_ref = numpy_auxiva_ip2_step(
+        X, np.tile(np.eye(2, dtype=X.dtype), (9, 1, 1)), 0, 1
+    )
+    # rows may differ by a unit phase; compare phase-invariantly per (f, row)
+    for f in range(9):
+        for r in range(2):
+            a, b = W_jax[f, r], W_ref[f, r]
+            phase = np.vdot(b, a)
+            phase = phase / np.abs(phase)
+            np.testing.assert_allclose(a, phase * b, atol=1e-8)
+    # and the NLL agrees exactly (phase-invariant)
+    np.testing.assert_allclose(
+        numpy_laplace_nll(X, W_jax), numpy_laplace_nll(X, W_ref), rtol=1e-10
+    )

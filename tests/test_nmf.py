@@ -191,3 +191,56 @@ def test_ldpsdtf(rng):
 def test_ldpsdtf_em_raises():
     with pytest.raises(NotImplementedError):
         LDPSDTF(n_basis=2, algorithm="em")
+
+
+def test_complex_nmf_trajectory_matches_reference_math(rng):
+    """Full 10-iteration trajectory parity with a literal NumPy port of the
+    reference's ComplexEUCNMF update (algorithm/nmf.py:597-676)."""
+    X = (rng.randn(11, 14) + 1j * rng.randn(11, 14)) * 0.5
+    K, reg, p = 3, 0.1, 1
+
+    def ref_run(X, iters):
+        np.random.seed(111)
+        n_bins, n_frames = X.shape
+        T = np.random.rand(n_bins, K)
+        V = np.random.rand(K, n_frames)
+        np.random.rand(n_bins, K, n_frames)  # discarded random phase draw
+        Phi = np.tile(np.angle(X)[:, None, :], (1, K, 1))
+
+        def beta(T, V):
+            TV = T[:, :, None] * V[None]
+            s = TV.sum(axis=1, keepdims=True)
+            s[s < EPS] = EPS
+            return TV / s
+
+        Beta = beta(T, V)
+        for _ in range(iters):
+            Ephi = np.exp(1j * Phi)
+            B = Beta.copy()
+            B[B < EPS] = EPS
+            Xk = T[:, :, None] * V[None] * Ephi
+            ZX = X - Xk.sum(axis=1)
+            Z_bar = Xk + B * ZX[:, None, :]
+            V_bar = V.copy()
+            V_bar[V_bar < EPS] = EPS
+            Re = np.real(Z_bar.conj() * Ephi)
+            num = ((V[None] / B) * Re).sum(axis=2)
+            den = np.sum(V[None] ** 2 / B, axis=2)
+            den[den < EPS] = EPS
+            T = num / den
+            num = ((T[:, :, None] / B) * Re).sum(axis=0)
+            den = np.sum(T[:, :, None] ** 2 / B, axis=0) + reg * p * V_bar ** (p - 2)
+            den[den < EPS] = EPS
+            V = num / den
+            Phi = np.angle(Z_bar)
+            T = T / T.sum(axis=0)
+            Beta = beta(T, V)
+        return T, V, Phi
+
+    T_ref, V_ref, Phi_ref = ref_run(X, 10)
+    np.random.seed(111)
+    model = ComplexEUCNMF(n_basis=K, regularizer=reg, p=p)
+    T, V, Phi = model(X, iteration=10)
+    np.testing.assert_allclose(np.asarray(T), T_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(V), V_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Phi), Phi_ref, atol=1e-8)
