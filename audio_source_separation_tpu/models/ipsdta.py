@@ -596,36 +596,118 @@ class TIPSDTA(GaussIPSDTA):
         U_new = layout.zero_padding_matrix(U_new)
         state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
 
-        # activation with π-weighted numerator
+        # activation: π recomputed with the updated basis (the reference
+        # recomputes it inside update_activation_mm, ``ipsdta.py:1420-1470``)
+        # and applied to the summed numerator only
+        pi2 = self._pi_weight(state, layout)
         U = self._U_kmajor(state)
         R = self._R_blocks(U, V, layout)
-        yy = y[..., :, None] * y[..., None, :].conj() * pi_c[:, :, None, None, None]
+        yy = y[..., :, None] * y[..., None, :].conj()
         yy = yy + eps * jnp.eye(layout.block_size, dtype=yy.dtype)
         inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
         Ryy = inv_R @ yy
         num = jnp.einsum("stbij,skbjl,stbli->skt", inv_R, U, Ryy).real
         den = jnp.einsum("stbij,skbji->skt", inv_R, U).real
-        num = jnp.maximum(num, 0)
+        num = jnp.maximum(pi2[:, None, :] * num, 0)
         den = floor_below(den, eps)
         V_new = V * jnp.sqrt(num / den)
         return dict(state, activation=V_new)
 
     def _update_spatial_vcd(self, state, layout):
-        pi = self._pi_weight(state, layout)  # (S, T)
-        # π scales the per-frame covariance statistics of the VCD update;
-        # implemented by temporarily scaling the source variances R⁻¹ → πR⁻¹,
-        # which is equivalent to dividing the activations by π per frame.
+        """t-VCD (``ipsdta.py:1472-1660``): the Gauss VCD with the posterior
+        weight ``π_n(t)`` recomputed inside every neighbor sweep from the
+        CURRENT demixing rows and applied to the frame statistics."""
+        eps, nu = self.eps, self.nu
+        X = state["input"]
+        W = state["demix_filter"]
+        U = self._U_kmajor(state)
         V = state["activation"]
-        pi_safe = jnp.maximum(pi, self.eps)
-        state_w = dict(state, activation=V / pi_safe[:, None, :])
-        new_state = GaussIPSDTA._update_spatial_vcd(self, state_w, layout)
-        return dict(new_state, activation=V)
+        n_sources, n_channels = W.shape[1], W.shape[2]
+        n_bins = X.shape[1]
+        B = layout.block_size
+        n_frames = X.shape[-1]
+
+        Xt = jnp.transpose(X, (2, 1, 0))  # (T, F, C)
+        Xb = layout.gather(jnp.moveaxis(Xt, -1, 0))  # (C, T, nb, B)
+        Xb = jnp.transpose(Xb, (1, 2, 3, 0))  # (T, nb, B, C)
+        Wb = layout.gather(jnp.transpose(W, (1, 2, 0)))  # (N, C, nb, B)
+        Wb = jnp.transpose(Wb, (2, 3, 0, 1))  # (nb, B, N, C)
+        eyeNC = jnp.eye(n_sources, n_channels, dtype=W.dtype)
+        invalid = (~layout.valid)[..., None, None]
+        Wb = jnp.where(invalid, eyeNC, Wb)
+
+        XX = Xb[..., :, None] * Xb[..., None, :].conj()  # (T, nb, B, C, C)
+        mask_offdiag = 1 - jnp.eye(B)
+
+        for n in range(n_sources):
+            U_n = U[n]
+            V_n = V[n]
+            R_n = jnp.einsum("kbij,kt->tbij", U_n, V_n.astype(U_n.dtype))
+            R_n = to_psd(layout.pad_identity(R_n), eps=eps)
+            inv_R_n = to_psd(jnp.linalg.inv(R_n), eps=eps)  # (T, nb, B, B)
+            inv_R_diag = jnp.diagonal(inv_R_n, axis1=-2, axis2=-1).real
+
+            for j in range(B):
+                w_n = Wb[:, :, n, :].conj()  # (nb, B', C)
+                Xw_n = jnp.einsum("tbic,bic->bit", Xb.conj(), w_n)  # (nb, B', T)
+
+                # posterior weight from the CURRENT rows
+                y_n = Xw_n.conj()  # (nb, B', T)
+                z = jnp.einsum("tbij,bjt->bit", inv_R_n, y_n)
+                yRy = jnp.einsum("bit,bit->t", y_n.conj(), z).real
+                pi_n = (nu + 2 * n_bins) / (nu + 2 * yRy)  # (T,)
+
+                Q = jnp.einsum(
+                    "t,tb,tbcd->bcd", pi_n, inv_R_diag[:, :, j], XX[:, :, j]
+                ) / n_frames
+                Q = to_psd(Q, eps=eps)
+
+                RXXw = jnp.einsum(
+                    "t,tbi,tbc,bit->bic",
+                    pi_n.astype(Xb.real.dtype),
+                    inv_R_n[:, :, :, j],
+                    Xb[:, :, j, :],
+                    Xw_n,
+                ) / n_frames
+                gamma = jnp.einsum(
+                    "i,bic->bc", mask_offdiag[j].astype(RXXw.real.dtype), RXXw
+                )
+
+                WQ = Wb[:, j] @ Q
+                e_n = jnp.broadcast_to(eyeNC[n], (layout.n_blocks, n_channels))
+                zeta = jnp.linalg.solve(WQ, e_n[..., None])[..., 0]
+                zeta_hat = jnp.linalg.solve(Q, gamma[..., None])[..., 0]
+                eta = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta).real
+                eta_hat = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta_hat)
+
+                eta = floor_below(eta, eps)
+                small = jnp.abs(eta_hat) < eps
+                eta_hat_f = jnp.where(small, eps, eta_hat)
+                weight = (eta_hat_f / (2 * eta)) * (
+                    1 - jnp.sqrt(1 + 4 * eta / (jnp.abs(eta_hat_f) ** 2))
+                )
+                weight = jnp.where(small, 1 / jnp.sqrt(eta), weight)
+                w_new = weight[:, None] * zeta - zeta_hat
+                valid_j = layout.valid[:, j][:, None]
+                Wb = Wb.at[:, j, n, :].set(
+                    jnp.where(valid_j, w_new.conj(), Wb[:, j, n, :])
+                )
+
+        W_new = layout.scatter(jnp.transpose(Wb, (2, 3, 0, 1)))
+        W_new = jnp.transpose(W_new, (2, 0, 1))
+        return dict(
+            state,
+            demix_filter=W_new,
+            estimation=self.separate(state["input"], W_new),
+        )
 
     def nll(self, state):
-        """t-NLL: ``Σ[(1+ν/2)·log(1 + 2/ν·y^H R⁻¹ y) + logdet R] − 2T log|det W|``."""
+        """t-NLL (``ipsdta.py:1694-1760``):
+        ``Σ logdet R + (ν+2F)/2 · Σ log(1 + 2/ν·y^H R⁻¹ y) − 2T log|det W|``."""
         eps = self.eps
         layout = self._layout(state["input"].shape[1])
         X, W = state["input"], state["demix_filter"]
+        n_bins = X.shape[1]
         n_frames = X.shape[-1]
         Y = self.separate(X, W)
         y = self._y_blocks(Y, layout)
@@ -639,9 +721,11 @@ class TIPSDTA(GaussIPSDTA):
         logdet_R = jnp.log(eigvals).sum(axis=(-2, -1))
         logdet_W = batched_log_abs_det(W)
         nu = self.nu
-        return jnp.sum(
-            (1 + nu / 2) * jnp.log(1 + (2 / nu) * yRy) + logdet_R
-        ) - 2 * n_frames * logdet_W.sum()
+        return (
+            logdet_R.sum()
+            + (nu + 2 * n_bins) / 2 * jnp.sum(jnp.log(1 + (2 / nu) * yRy))
+            - 2 * n_frames * logdet_W.sum()
+        )
 
     def __repr__(self):
         return "t-IPSDTA(n_basis={}, nu={}, n_blocks={}, author={})".format(

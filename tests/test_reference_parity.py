@@ -299,3 +299,120 @@ def test_ldpsdtf_matches_reference(rng, reference_modules, reference_more):
     V, Hout = model(X, iteration=8)
     np.testing.assert_allclose(np.asarray(V), V_ref, rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(np.asarray(Hout), H_ref, rtol=1e-5, atol=1e-8)
+
+
+def test_prox_iva_matches_reference(rng, reference_modules):
+    ref_iva, _ = reference_modules
+    from audio_source_separation_tpu.models import ProxLaplaceIVA
+
+    X = _mixture(rng, n_bins=17, n_frames=24)
+    ref_solver = ref_iva.ProxLaplaceIVA()
+    ref_out = ref_solver(X.copy(), iteration=20)
+    solver = ProxLaplaceIVA()
+    out = solver(X, iteration=20)
+    # the reference estimates the spectral norm with sparse svds (Lanczos);
+    # ours is exact — trajectories agree to the svds tolerance
+    np.testing.assert_allclose(
+        np.asarray(solver.loss), np.asarray(ref_solver.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-5)
+
+
+def test_gauss_ipsdta_kondo_matches_reference(rng, reference_modules):
+    sys.path.insert(0, REFERENCE_SRC)
+    try:
+        import bss.ipsdta as ref_ipsdta
+    finally:
+        sys.path.remove(REFERENCE_SRC)
+    from audio_source_separation_tpu.models import GaussIPSDTA
+
+    X = _mixture(rng, n_bins=8, n_frames=10)  # uniform blocks: 8 bins / 4 blocks
+    # NOTE: the reference silently overwrites its spatial_iteration ctor arg
+    # with the author defaults (Kondo=10) — use defaults on both sides
+    np.random.seed(111)
+    ref_solver = ref_ipsdta.GaussIPSDTA(n_basis=2, author="Kondo", n_blocks=4)
+    ref_out = ref_solver(X.copy(), iteration=4)
+    np.random.seed(111)
+    solver = GaussIPSDTA(n_basis=2, author="Kondo", n_blocks=4)
+    out = solver(X, iteration=4)
+    np.testing.assert_allclose(
+        np.asarray(solver.loss), np.asarray(ref_solver.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-5)
+
+
+def test_gauss_ipsdta_ikeshita_matches_reference(rng, reference_modules):
+    sys.path.insert(0, REFERENCE_SRC)
+    try:
+        import bss.ipsdta as ref_ipsdta
+    finally:
+        sys.path.remove(REFERENCE_SRC)
+    from audio_source_separation_tpu.models import GaussIPSDTA
+
+    X = _mixture(rng, n_bins=8, n_frames=10)
+    np.random.seed(111)
+    ref_solver = ref_ipsdta.GaussIPSDTA(n_basis=2, author="Ikeshita", n_blocks=4)
+    ref_out = ref_solver(X.copy(), iteration=4)
+    np.random.seed(111)
+    solver = GaussIPSDTA(n_basis=2, author="Ikeshita", n_blocks=4)
+    out = solver(X, iteration=4)
+    np.testing.assert_allclose(
+        np.asarray(solver.loss), np.asarray(ref_solver.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-5)
+
+
+def test_idlma_matches_reference(rng, reference_modules):
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, REFERENCE_SRC)
+    try:
+        import sss.idlma as ref_idlma
+    finally:
+        sys.path.remove(REFERENCE_SRC)
+    from audio_source_separation_tpu.models import GaussIDLMA
+
+    X = _mixture(rng, n_bins=17, n_frames=20)
+    oracle = np.abs(rng.randn(2, 17, 20)) + 0.3
+
+    class OracleNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dummy = torch.nn.Parameter(torch.zeros(1))
+
+        def forward(self, x):
+            return torch.tensor(oracle, dtype=x.dtype) + 0 * self.dummy
+
+    # the reference's default normalize='power' raises in its own update
+    # (idlma.py:157 only implements 'projection-back')
+    ref_solver = ref_idlma.GaussIDLMA(normalize="projection-back")
+    ref_out = ref_solver(X.copy(), iteration=5, dnn=OracleNet())
+
+    from audio_source_separation_tpu.models import torch_dnn
+
+    solver = GaussIDLMA(guard="svd")
+    out = solver(X, iteration=5, dnn=torch_dnn(OracleNet()))
+    np.testing.assert_allclose(
+        np.asarray(solver.loss), np.asarray(ref_solver.loss), rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4)
+
+
+def test_tipsdta_matches_reference(rng, reference_modules):
+    sys.path.insert(0, REFERENCE_SRC)
+    try:
+        import bss.ipsdta as ref_ipsdta
+    finally:
+        sys.path.remove(REFERENCE_SRC)
+    from audio_source_separation_tpu.models import TIPSDTA
+
+    X = _mixture(rng, n_bins=8, n_frames=10)
+    np.random.seed(111)
+    ref_solver = ref_ipsdta.tIPSDTA(n_basis=2, nu=100.0, author="Kondo", n_blocks=4)
+    ref_out = ref_solver(X.copy(), iteration=3)
+    np.random.seed(111)
+    solver = TIPSDTA(n_basis=2, nu=100.0, author="Kondo", n_blocks=4)
+    out = solver(X, iteration=3)
+    np.testing.assert_allclose(
+        np.asarray(solver.loss), np.asarray(ref_solver.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-5)
