@@ -38,7 +38,6 @@ import numpy as np
 from ..algorithm.projection_back import projection_back
 from ..ops.blocks import BlockLayout
 from ..ops.fast_linalg import batched_log_abs_det
-from ..runtime.solver import IterativeSolver
 from ..utils.flooring import floor_below
 from ..utils.linalg import to_psd
 from .iva import IVABase

@@ -1,0 +1,202 @@
+"""Component-layout AuxIVA-IP step — the lane-friendly hot loop.
+
+TPU arrays tile (sublane × lane) = (8 × 128) for f32; tensors with tiny
+trailing dims like the demixing filters ``(F, 2, 2)`` pad 2 → 128 lanes and
+2 → 8 sublanes (a ~256× memory blow-up), which makes the IP chain's many
+small ops dominate the iteration (~420 µs/iter measured for fixed-U IP sweeps
+at F=2049).  This module stores every per-bin C×C quantity as **components**:
+python-indexed collections of ``(F,)``-shaped arrays with the bin axis in
+lanes — full lane occupancy, and the whole IP chain fuses into a handful of
+elementwise kernels.  All channel loops unroll at trace time (C ∈ {2, 3, 4}
+in practice; determinants/adjugates are generic Laplace expansions).
+
+Layouts:
+  * ``W (n_sources, n_channels, F)`` complex — demixing rows as components;
+  * ``X (C, F, T)`` complex — public layout, unchanged;
+  * covariance contraction as ONE real f32 GEMM ``(2·C²·F, T) × (T, N)`` over
+    stacked (re, im) pair-product planes (a complex GEMM with N=2 output
+    columns lowers poorly).
+"""
+
+import jax.numpy as jnp
+
+
+def pair_products_planes(X):
+    """Stacked real pair-product planes ``(2, C, C, F, T)``:
+    ``planes[0] = Re(x_c x_d^*)``, ``planes[1] = Im(x_c x_d^*)``."""
+    PP = X[:, None] * X[None].conj()  # (C, C, F, T)
+    return jnp.stack([PP.real, PP.imag])
+
+
+def weighted_covariance_components(planes, weights):
+    """``U[n][c][d] (F,) = (1/T) Σ_t w[n, t]·(x_c x_d^*)(f, t)``.
+
+    One real GEMM; returns a nested list ``U[n][c][d]`` of complex ``(F,)``.
+    """
+    two, C, _, F, T = planes.shape
+    n_sources = weights.shape[0]
+    w = jnp.transpose(weights).astype(planes.dtype)  # (T, N)
+    flat = planes.reshape(2 * C * C * F, T)
+    out = flat @ w / T  # (2·C²·F, N)
+    out = out.reshape(2, C, C, F, n_sources)
+    return [
+        [
+            [out[0, c, d, :, n] + 1j * out[1, c, d, :, n] for d in range(C)]
+            for c in range(C)
+        ]
+        for n in range(n_sources)
+    ]
+
+
+def separate_components(W_rows, X):
+    """``Y[n] = Σ_c w[n][c][:, None] · X[c]`` — elementwise over (F, T).
+
+    ``W_rows[n][c]`` are complex ``(F,)``; returns ``Y (N, F, T)``.
+    """
+    n_channels = X.shape[0]
+    rows = []
+    for w_row in W_rows:
+        acc = w_row[0][:, None] * X[0]
+        for c in range(1, n_channels):
+            acc = acc + w_row[c][:, None] * X[c]
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
+def _det_components(M, idx_rows, idx_cols):
+    """Laplace-expansion determinant of the submatrix ``M[idx_rows][idx_cols]``
+    where ``M[i][j]`` are ``(F,)`` arrays (unrolled at trace time)."""
+    if len(idx_rows) == 1:
+        return M[idx_rows[0]][idx_cols[0]]
+    i = idx_rows[0]
+    total = None
+    for pos, j in enumerate(idx_cols):
+        minor = _det_components(
+            M, idx_rows[1:], idx_cols[:pos] + idx_cols[pos + 1 :]
+        )
+        term = M[i][j] * minor
+        if pos % 2 == 1:
+            term = -term
+        total = term if total is None else total + term
+    return total
+
+
+def det_components(M, n):
+    """Determinant of an n×n component matrix (list-of-lists of (F,) arrays)."""
+    return _det_components(M, tuple(range(n)), tuple(range(n)))
+
+
+def solve_column_components(M, n, col, det=None):
+    """Column ``col`` of ``M^{-1}`` via the adjugate (Cramer), components.
+
+    ``inv[:, col][i] = cof(M)[col][i] / det = (-1)^{i+col} minor(col, i) / det``.
+    """
+    if det is None:
+        det = det_components(M, n)
+    rows = tuple(range(n))
+    out = []
+    for i in range(n):
+        minor_rows = tuple(r for r in rows if r != col)
+        minor_cols = tuple(c for c in rows if c != i)
+        minor = (
+            _det_components(M, minor_rows, minor_cols)
+            if n > 1
+            else jnp.ones_like(det)
+        )
+        sign = -1 if (i + col) % 2 else 1
+        out.append(sign * minor / det)
+    return out
+
+
+def ip_update_components(W_rows, U, threshold=1e12, guard="one_norm"):
+    """IP sweep in component layout; same semantics as ``ops.ip.ip_update``.
+
+    ``W_rows[s][c]``: complex ``(F,)`` (mutated functionally);
+    ``U[n][c][d]``: complex ``(F,)``.
+    Returns the updated nested list.
+    """
+    n_sources = len(W_rows)
+    n_channels = len(W_rows[0])
+    W_rows = [list(row) for row in W_rows]
+
+    for n in range(n_sources):
+        U_n = U[n]
+        # WU[s][j] = Σ_c W[s][c]·U_n[c][j]
+        WU = [
+            [
+                sum(W_rows[s][c] * U_n[c][j] for c in range(n_channels))
+                for j in range(n_channels)
+            ]
+            for s in range(n_sources)
+        ]
+        det = det_components(WU, n_channels)
+        w_n = solve_column_components(WU, n_channels, n, det=det)  # (C,) of (F,)
+
+        if guard == "none":
+            ok = None
+        else:
+            # κ₁ = ‖WU‖₁·‖WU⁻¹‖₁ with the full inverse from the adjugate
+            inv_cols = [
+                solve_column_components(WU, n_channels, j, det=det)
+                for j in range(n_channels)
+            ]
+            norm = jnp.stack(
+                [
+                    sum(jnp.abs(WU[i][j]) for i in range(n_channels))
+                    for j in range(n_channels)
+                ]
+            ).max(axis=0)
+            inv_norm = jnp.stack(
+                [
+                    sum(jnp.abs(inv_cols[j][i]) for i in range(n_channels))
+                    for j in range(n_channels)
+                ]
+            ).max(axis=0)
+            ok = norm * inv_norm < threshold
+
+        # w^H U_n w
+        Uw = [
+            sum(U_n[c][d] * w_n[d] for d in range(n_channels))
+            for c in range(n_channels)
+        ]
+        wUw = sum((w_n[c].conj() * Uw[c]).real for c in range(n_channels))
+        denom = jnp.sqrt(wUw)
+        for c in range(n_channels):
+            new_c = w_n[c].conj() / denom
+            if ok is not None:
+                new_c = jnp.where(ok, new_c, W_rows[n][c])
+            W_rows[n][c] = new_c
+    return W_rows
+
+
+def log_abs_det_components(W_rows, n_channels):
+    """``Σ_f log|det W_f|`` from component layout."""
+    det = det_components(
+        [[W_rows[i][j] for j in range(n_channels)] for i in range(n_channels)],
+        n_channels,
+    )
+    return jnp.log(jnp.abs(det))
+
+
+def auxiva_ip_step_components(X, W_rows, Y, planes, eps=1e-8, threshold=1e12):
+    """Full AuxIVA-IP iteration in component layout.
+
+    Args:
+        X: mixture ``(C, F, T)`` complex.
+        W_rows: demixing components, nested list ``[s][c]`` of complex ``(F,)``.
+        Y: current estimates ``(N, F, T)`` complex.
+        planes: stacked pair-product planes from :func:`pair_products_planes`.
+    Returns:
+        ``(W_rows_new, Y_new, nll)``.
+    """
+    n_channels = X.shape[0]
+    n_frames = X.shape[-1]
+    P = jnp.abs(Y) ** 2
+    R = jnp.maximum(jnp.sqrt(P.sum(axis=1)), eps)  # (N, T)
+    U = weighted_covariance_components(planes, 1.0 / R)
+    W_rows = ip_update_components(W_rows, U, threshold=threshold)
+    Y = separate_components(W_rows, X)
+    nll = (2 * jnp.sqrt(jnp.sum(jnp.abs(Y) ** 2, axis=1))).sum() - 2 * n_frames * (
+        log_abs_det_components(W_rows, n_channels).sum()
+    )
+    return W_rows, Y, nll

@@ -15,8 +15,6 @@ covariance accumulation becomes a ``psum`` over frame shards — and can be
 enabled by sharding the trailing axis instead.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
