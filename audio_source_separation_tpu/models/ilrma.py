@@ -306,10 +306,9 @@ class GaussILRMA(ILRMABase):
     # spatial model
     # ------------------------------------------------------------------ #
     def _update_spatial_ip(self, state):
-        X, W = state["input"], state["demix_filter"]
+        X = state["input"]
         R = floor_below(self.source_variance(state), self.eps)
-        U = self._weighted_covariance(state, 1.0 / R)
-        W = ip_update(W, U, threshold=self.threshold, guard=self.guard)
+        W = self._ip_sweep(state, 1.0 / R)
         return dict(state, demix_filter=W, estimation=self.separate(X, W))
 
     def _update_spatial_iss(self, state):

@@ -72,8 +72,9 @@ class IVABase(IterativeSolver):
         return jnp.tile(W, (n_bins, 1, 1))
 
     # solvers whose updates accumulate weighted covariances set this to True;
-    # the channel pair products are then precomputed once per run and every
-    # covariance accumulation becomes a single GEMM over the frame axis
+    # the stacked real pair-product planes are then precomputed once per run
+    # and every covariance accumulation becomes a single real GEMM over the
+    # frame axis (see ops/ip_components.py)
     use_pair_products = False
 
     def init_state(self, X, demix_filter=None, estimation=None):
@@ -90,15 +91,37 @@ class IVABase(IterativeSolver):
             estimation = jnp.asarray(estimation, dtype=X.dtype)
         state = {"input": X, "demix_filter": demix_filter, "estimation": estimation}
         if self.use_pair_products:
-            state["pair_products"] = pair_products(X)
+            from ..ops.ip_components import pair_products_planes
+
+            state["pair_products"] = pair_products_planes(X)
         return state
 
     def _weighted_covariance(self, state, inv_weights):
-        from ..ops.covariance import weighted_covariance_auto
+        planes = state.get("pair_products")
+        if planes is not None:
+            from ..ops.ip_components import weighted_covariance_planes_array
 
-        return weighted_covariance_auto(
-            state["input"], inv_weights, PP=state.get("pair_products")
-        )
+            return weighted_covariance_planes_array(planes, inv_weights)
+        return weighted_covariance(state["input"], inv_weights)
+
+    def _ip_sweep(self, state, inv_weights):
+        """Covariance accumulation + IP row sweep; fully component-layout when
+        the guard allows (the (F, C, C) matrix layout pads trailing dims ~256×
+        on TPU tiles — see ops/ip_components.py)."""
+        W = state["demix_filter"]
+        planes = state.get("pair_products")
+        if (
+            planes is not None
+            and self.guard in ("one_norm", "none")
+            and W.shape[-1] <= 4
+        ):
+            from ..ops.ip_components import ip_sweep_from_planes
+
+            return ip_sweep_from_planes(
+                W, planes, inv_weights, threshold=self.threshold, guard=self.guard
+            )
+        U = self._weighted_covariance(state, inv_weights)
+        return ip_update(W, U, threshold=self.threshold, guard=self.guard)
 
     def __repr__(self):
         return "IVA()"
@@ -259,10 +282,9 @@ class AuxIVABase(IVABase):
         )
 
     def _update_ip(self, state):
-        X, W, Y = state["input"], state["demix_filter"], state["estimation"]
+        X, Y = state["input"], state["estimation"]
         R = floor_below(self.source_weights(Y), self.eps)  # (N, T)
-        U = self._weighted_covariance(state, 1.0 / R)  # (N, F, C, C)
-        W = ip_update(W, U, threshold=self.threshold, guard=self.guard)
+        W = self._ip_sweep(state, 1.0 / R)
         return dict(state, demix_filter=W, estimation=self.separate(X, W))
 
     def _update_iss(self, state):

@@ -49,8 +49,31 @@ def ip_update(W, U, threshold=1e12, guard="one_norm"):
         U: weighted covariances ``(n_sources, n_bins, n_channels, n_channels)``.
     Returns:
         updated ``W`` (same shape).
+
+    For the cheap guards the sweep runs in component layout
+    (:mod:`~audio_source_separation_tpu.ops.ip_components`) — per-bin C×C
+    tensors in ``(F, C, C)`` layout pad their trailing dims ~256× on TPU
+    tiles, which otherwise dominates the iteration; ``guard='svd'`` keeps the
+    matrix-layout path (exact ``np.linalg.cond`` parity).
     """
     n_sources = U.shape[0]
+    if guard in ("one_norm", "none") and U.shape[-1] <= 4:
+        from .ip_components import ip_update_components
+
+        n_channels = W.shape[-1]
+        W_rows = [
+            [W[:, s, c] for c in range(n_channels)] for s in range(n_sources)
+        ]
+        U_comp = [
+            [[U[n, :, c, d] for d in range(n_channels)] for c in range(n_channels)]
+            for n in range(n_sources)
+        ]
+        W_rows = ip_update_components(
+            W_rows, U_comp, threshold=threshold, guard=guard
+        )
+        return jnp.stack(
+            [jnp.stack(row, axis=-1) for row in W_rows], axis=1
+        )
     for n in range(n_sources):
         U_n = U[n]  # (n_bins, C, C)
         WU = W @ U_n  # (n_bins, n_sources, C)

@@ -28,17 +28,31 @@ def pair_products_planes(X):
     return jnp.stack([PP.real, PP.imag])
 
 
-def weighted_covariance_components(planes, weights):
-    """``U[n][c][d] (F,) = (1/T) Σ_t w[n, t]·(x_c x_d^*)(f, t)``.
+def _covariance_planes(planes, weights):
+    """Real contraction over frames → ``(2, C, C, F, N)``.
 
-    One real GEMM; returns a nested list ``U[n][c][d]`` of complex ``(F,)``.
+    2-D weights ``(N, T)``: one ``(2·C²·F, T) × (T, N)`` GEMM;
+    3-D weights ``(N, F, T)`` (ILRMA-style per-bin variances): a bin-batched
+    GEMM via einsum.
     """
     two, C, _, F, T = planes.shape
+    w = weights.astype(planes.dtype)
+    if w.ndim == 2:
+        flat = planes.reshape(2 * C * C * F, T)
+        out = flat @ jnp.transpose(w) / T  # (2·C²·F, N)
+        return out.reshape(2, C, C, F, -1)
+    out = jnp.einsum("pft,nft->pfn", planes.reshape(2 * C * C, F, T), w) / T
+    return out.reshape(2, C, C, F, -1)
+
+
+def weighted_covariance_components(planes, weights):
+    """``U[n][c][d] (F,) = (1/T) Σ_t w[n, (f,) t]·(x_c x_d^*)(f, t)``.
+
+    Returns a nested list ``U[n][c][d]`` of complex ``(F,)``.
+    """
+    C = planes.shape[1]
     n_sources = weights.shape[0]
-    w = jnp.transpose(weights).astype(planes.dtype)  # (T, N)
-    flat = planes.reshape(2 * C * C * F, T)
-    out = flat @ w / T  # (2·C²·F, N)
-    out = out.reshape(2, C, C, F, n_sources)
+    out = _covariance_planes(planes, weights)
     return [
         [
             [out[0, c, d, :, n] + 1j * out[1, c, d, :, n] for d in range(C)]
@@ -46,6 +60,31 @@ def weighted_covariance_components(planes, weights):
         ]
         for n in range(n_sources)
     ]
+
+
+def weighted_covariance_planes_array(planes, weights):
+    """Array-output variant: ``U (N, F, C, C)`` complex (for matrix-layout
+    consumers like the IP2 pairwise math)."""
+    out = _covariance_planes(planes, weights)
+    U = out[0] + 1j * out[1]  # (C, C, F, N)
+    return jnp.transpose(U, (3, 2, 0, 1))
+
+
+def ip_sweep_from_planes(W, planes, inv_weights, threshold=1e12, guard="one_norm"):
+    """Fused covariance + IP sweep fully in component land.
+
+    Args:
+        W: demixing filters ``(F, N, C)`` (public layout).
+        planes: from :func:`pair_products_planes`.
+        inv_weights: ``(N, T)`` or ``(N, F, T)`` reciprocal variances.
+    Returns:
+        updated ``W (F, N, C)``.
+    """
+    n_sources, n_channels = W.shape[1], W.shape[2]
+    U = weighted_covariance_components(planes, inv_weights)
+    W_rows = [[W[:, s, c] for c in range(n_channels)] for s in range(n_sources)]
+    W_rows = ip_update_components(W_rows, U, threshold=threshold, guard=guard)
+    return jnp.stack([jnp.stack(row, axis=-1) for row in W_rows], axis=1)
 
 
 def separate_components(W_rows, X):
