@@ -39,7 +39,7 @@ import numpy as np
 from ..algorithm.linalg import solve_riccati
 from ..criterion.divergence import logdet_divergence
 from ..ops.ip import cond_guard
-from ..ops.fast_linalg import batched_det
+from ..ops.fast_linalg import batched_det, batched_inv
 from ..runtime.solver import IterativeSolver
 from ..utils.flooring import floor_below
 from ..utils.linalg import to_psd
@@ -474,34 +474,49 @@ class FastMultichannelISNMF(MultichannelNMFBase):
             self.n_sources = n_channels
         state = {"input": X}
         state.update(kwargs)
+        if self.guard != "svd":
+            from ..ops.ip_components import pair_products_planes
+
+            state["pair_products"] = pair_products_planes(X)
         return state
 
     # ------------------------------------------------------------------ #
+    # Internal layout note: the per-(bin, frame, channel) power tensors are
+    # kept CHANNEL-LEADING ``(C, F, T)`` — TPU tiles pad a trailing C=2 to 128
+    # lanes (~64x memory waste), which otherwise dominates the NMF/SCM sweeps.
+    # ------------------------------------------------------------------ #
     def _qx_power(self, state):
-        """``x̃ = |Qx|² (n_bins, n_frames, n_channels)`` (``mnmf.py:782-783``)."""
-        X = jnp.transpose(state["input"], (1, 2, 0))  # (F, T, C)
-        Q = state["diagonalizer"]
-        QX = jnp.einsum("fmc,ftc->ftm", Q, X)
-        return jnp.abs(QX) ** 2
+        """``x̃[m] = |Σ_c Q[f,m,c] x_c|² → (n_channels, n_bins, n_frames)``
+        (``mnmf.py:782-783``, channel-leading layout)."""
+        X = state["input"]  # (C, F, T)
+        Q = state["diagonalizer"]  # (F, M, C)
+        n_channels = X.shape[0]
+        rows = []
+        for m in range(n_channels):
+            acc = Q[:, m, 0][:, None] * X[0]
+            for c in range(1, n_channels):
+                acc = acc + Q[:, m, c][:, None] * X[c]
+            rows.append(jnp.abs(acc) ** 2)
+        return jnp.stack(rows)  # (M, F, T)
 
     def _model_power(self, state):
-        """``R = Σ_s (WH)_s g_s (n_bins, n_frames, n_channels)``."""
+        """``R[m] = Σ_s (WH)_s g[s,:,m] → (n_channels, n_bins, n_frames)``."""
         W, H = state["basis"], state["activation"]
-        g = state["spatial_covariance"]
+        g = state["spatial_covariance"]  # (S, F, M)
         Lam = W @ H  # (S, F, T)
-        return jnp.einsum("sft,sfm->ftm", Lam, g)
+        return jnp.einsum("sft,sfm->mft", Lam, g)
 
     def _update_nmf(self, state):
         eps = self.eps
         g = state["spatial_covariance"]
         W, H = state["basis"], state["activation"]
-        x_tilde = self._qx_power(state)
+        x_tilde = self._qx_power(state)  # (M, F, T)
 
         # W update (``mnmf.py:789-800``)
         R = floor_below(self._model_power(state), eps)
         xR = x_tilde / R**2
-        gxR = jnp.einsum("sfm,ftm->sft", g, xR)
-        gR = jnp.einsum("sfm,ftm->sft", g, 1 / R)
+        gxR = jnp.einsum("sfm,mft->sft", g, xR)
+        gR = jnp.einsum("sfm,mft->sft", g, 1 / R)
         num = jnp.einsum("skt,sft->sfk", H, gxR)
         den = floor_below(jnp.einsum("skt,sft->sfk", H, gR), eps)
         W = W * jnp.sqrt(num / den)
@@ -510,8 +525,8 @@ class FastMultichannelISNMF(MultichannelNMFBase):
         # H update (``mnmf.py:802-813``)
         R = floor_below(self._model_power(state), eps)
         xR = x_tilde / R**2
-        gxR = jnp.einsum("sfm,ftm->sft", g, xR)
-        gR = jnp.einsum("sfm,ftm->sft", g, 1 / R)
+        gxR = jnp.einsum("sfm,mft->sft", g, xR)
+        gR = jnp.einsum("sfm,mft->sft", g, 1 / R)
         num = jnp.einsum("sfk,sft->skt", W, gxR)
         den = floor_below(jnp.einsum("sfk,sft->skt", W, gR), eps)
         H = H * jnp.sqrt(num / den)
@@ -525,25 +540,85 @@ class FastMultichannelISNMF(MultichannelNMFBase):
         R = floor_below(self._model_power(state), eps)
         x_tilde = self._qx_power(state)
         xR = x_tilde / R**2
-        A = jnp.einsum("sft,ftm->sfm", Lam, xR)
-        B = floor_below(jnp.einsum("sft,ftm->sfm", Lam, 1 / R), eps)
+        A = jnp.einsum("sft,mft->sfm", Lam, xR)
+        B = floor_below(jnp.einsum("sft,mft->sfm", Lam, 1 / R), eps)
         g = g * jnp.sqrt(A / B)
         return dict(state, spatial_covariance=g)
 
     def _update_diagonalizer(self, state):
-        """IP-style row update for Q (``mnmf.py:848-888``) — the same kernel
-        as AuxIVA-IP but per channel."""
+        """IP-style row update for Q (``mnmf.py:848-888``) — the AuxIVA-IP
+        kernel per channel; component layout for cheap guards."""
         eps, threshold = self.eps, self.threshold
-        X = jnp.transpose(state["input"], (1, 2, 0))  # (F, T, C)
+        X = state["input"]  # (C, F, T)
         Q = state["diagonalizer"]
         n_channels = Q.shape[-1]
-        R = floor_below(self._model_power(state), eps)  # (F, T, C)
+        n_frames = X.shape[-1]
+        R = floor_below(self._model_power(state), eps)  # (M, F, T)
 
+        planes = state.get("pair_products")
+        if planes is not None and self.guard in ("one_norm", "none") and n_channels <= 4:
+            from ..ops.ip_components import (
+                det_components,
+                solve_column_components,
+                weighted_covariance_components,
+            )
+
+            Q_rows = [
+                [Q[:, i, c] for c in range(n_channels)] for i in range(n_channels)
+            ]
+            for m in range(n_channels):
+                U = weighted_covariance_components(planes, (1.0 / R[m])[None])[0]
+                QV = [
+                    [
+                        sum(Q_rows[i][c] * U[c][j] for c in range(n_channels))
+                        for j in range(n_channels)
+                    ]
+                    for i in range(n_channels)
+                ]
+                det = det_components(QV, n_channels)
+                q_m = solve_column_components(QV, n_channels, m, det=det)
+                if self.guard == "none":
+                    ok = None
+                else:
+                    inv_cols = [
+                        solve_column_components(QV, n_channels, j, det=det)
+                        for j in range(n_channels)
+                    ]
+                    norm = jnp.stack(
+                        [
+                            sum(jnp.abs(QV[i][j]) for i in range(n_channels))
+                            for j in range(n_channels)
+                        ]
+                    ).max(axis=0)
+                    inv_norm = jnp.stack(
+                        [
+                            sum(jnp.abs(inv_cols[j][i]) for i in range(n_channels))
+                            for j in range(n_channels)
+                        ]
+                    ).max(axis=0)
+                    ok = norm * inv_norm < threshold
+                Uq = [
+                    sum(U[c][d] * q_m[d] for d in range(n_channels))
+                    for c in range(n_channels)
+                ]
+                qVq = sum((q_m[c].conj() * Uq[c]).real for c in range(n_channels))
+                denominator = floor_below(jnp.sqrt(qVq), eps)
+                for c in range(n_channels):
+                    new_c = q_m[c].conj() / denominator
+                    if ok is not None:
+                        new_c = jnp.where(ok, new_c, Q_rows[m][c])
+                    Q_rows[m][c] = new_c
+            Q = jnp.stack(
+                [jnp.stack(row, axis=-1) for row in Q_rows], axis=1
+            )
+            return dict(state, diagonalizer=Q)
+
+        Xb = jnp.transpose(X, (1, 2, 0))  # (F, T, C)
         for m in range(n_channels):
-            inv_R_m = (1.0 / R[:, :, m]).astype(X.real.dtype)
+            inv_R_m = (1.0 / R[m]).astype(X.real.dtype)
             V = jnp.einsum(
-                "ft,ftc,ftd->fcd", inv_R_m, X, X.conj()
-            ) / X.shape[1]
+                "ft,ftc,ftd->fcd", inv_R_m, Xb, Xb.conj()
+            ) / n_frames
             QV = Q @ V
             QV_inv = jnp.linalg.inv(QV)
             ok = cond_guard(QV, QV_inv, threshold=threshold, guard=self.guard)
@@ -605,26 +680,39 @@ class FastMultichannelISNMF(MultichannelNMFBase):
 
     def finalize(self, state):
         """Wiener mask in the Q-domain + Q⁻¹ back-projection at the reference
-        mic (``mnmf.py:919-946``)."""
+        mic (``mnmf.py:919-946``), channel-leading layout."""
         eps = self.eps
-        X = jnp.transpose(state["input"], (1, 2, 0))  # (F, T, C)
+        X = state["input"]  # (C, F, T)
         Q = state["diagonalizer"]
         g = state["spatial_covariance"]
         W, H = state["basis"], state["activation"]
+        n_channels = X.shape[0]
+        n_sources = g.shape[0]
         Lam = W @ H  # (S, F, T)
 
-        LambdaG = Lam[..., None] * g[:, :, None, :]  # (S, F, T, C)
-        y_tilde = floor_below(jnp.sum(LambdaG, axis=0), eps)  # (F, T, C)
-        Q_inv = jnp.linalg.inv(Q)
-        QX = jnp.einsum("fmc,ftc->ftm", Q, X)
-        mask = (LambdaG / y_tilde).astype(QX.dtype)
-        QXLambdaGy = QX * mask  # (S, F, T, C)
-        x_hat = jnp.einsum(
-            "fmc,sftc->sftm", Q_inv, QXLambdaGy
-        )  # (S, F, T, C)
-        return x_hat[..., self.reference_id].reshape(
-            x_hat.shape[0], x_hat.shape[1], x_hat.shape[2]
-        )
+        # LambdaG[s, m] = Lam[s]·g[s, :, m]  and  ỹ[m] = Σ_s LambdaG[s, m]
+        LambdaG = Lam[:, None] * jnp.transpose(g, (0, 2, 1))[:, :, :, None]
+        # (S, M, F, T)
+        y_tilde = floor_below(LambdaG.sum(axis=0), eps)  # (M, F, T)
+
+        # QX[m] via components, Q⁻¹ row at the reference mic via closed form
+        QX = []
+        for m in range(n_channels):
+            acc = Q[:, m, 0][:, None] * X[0]
+            for c in range(1, n_channels):
+                acc = acc + Q[:, m, c][:, None] * X[c]
+            QX.append(acc)
+        Q_inv = batched_inv(Q)  # (F, C, M), tiny
+        q_ref = [Q_inv[:, self.reference_id, m] for m in range(n_channels)]
+
+        mask = (LambdaG / y_tilde).astype(X.dtype)  # (S, M, F, T)
+        outputs = []
+        for s in range(n_sources):
+            acc = q_ref[0][:, None] * (QX[0] * mask[s, 0])
+            for m in range(1, n_channels):
+                acc = acc + q_ref[m][:, None] * (QX[m] * mask[s, m])
+            outputs.append(acc)
+        return jnp.stack(outputs)  # (S, F, T)
 
     def __repr__(self):
         return "FastMNMF(n_basis={}, partitioning={}, normalize={})".format(
