@@ -514,9 +514,45 @@ class TILRMA(ILRMABase):
         P = jnp.abs(Y) ** 2
         R = floor_below(self.source_variance(state), eps)
         Xi = (nu * R + 2 * P) / (nu + 2)
-        U = self._weighted_covariance(state, 1.0 / Xi)
 
-        n_sources = U.shape[0]
+        planes = state.get("pair_products")
+        n_sources, n_channels = W.shape[1], W.shape[2]
+        if planes is not None and n_channels <= 4:
+            # component layout (lane-friendly, see ops/ip_components.py)
+            from ..ops.ip_components import (
+                det_components,
+                solve_column_components,
+                weighted_covariance_components,
+            )
+
+            U = weighted_covariance_components(planes, 1.0 / Xi)
+            W_rows = [
+                [W[:, s, c] for c in range(n_channels)] for s in range(n_sources)
+            ]
+            for n in range(n_sources):
+                U_n = U[n]
+                WU = [
+                    [
+                        sum(W_rows[s][c] * U_n[c][j] for c in range(n_channels))
+                        for j in range(n_channels)
+                    ]
+                    for s in range(n_sources)
+                ]
+                w = solve_column_components(
+                    WU, n_channels, n, det=det_components(WU, n_channels)
+                )
+                Uw = [
+                    sum(U_n[c][d] * w[d] for d in range(n_channels))
+                    for c in range(n_channels)
+                ]
+                wUw = sum((w[c].conj() * Uw[c]).real for c in range(n_channels))
+                denominator = floor_below(jnp.sqrt(wUw), eps)
+                for c in range(n_channels):
+                    W_rows[n][c] = w[c].conj() / denominator
+            W = jnp.stack([jnp.stack(row, axis=-1) for row in W_rows], axis=1)
+            return dict(state, demix_filter=W, estimation=self.separate(X, W))
+
+        U = self._weighted_covariance(state, 1.0 / Xi)
         for n in range(n_sources):
             U_n = U[n]
             WU = W @ U_n
