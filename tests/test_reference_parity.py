@@ -416,3 +416,32 @@ def test_tipsdta_matches_reference(rng, reference_modules):
         np.asarray(solver.loss), np.asarray(ref_solver.loss), rtol=1e-5
     )
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-5)
+
+
+def test_consistent_ilrma_matches_reference(rng, reference_modules):
+    """ConsistentGaussILRMA: exercises the in-scan istft→stft consistency
+    projection against the reference's scipy round trip."""
+    _, ref_ilrma = reference_modules
+    from audio_source_separation_tpu.models import ConsistentGaussILRMA
+
+    fft_size, hop_size = 32, 16
+    x = rng.randn(2, 1024)
+    from scipy.signal import stft as sp_stft
+
+    _, _, X = sp_stft(x, nperseg=fft_size, noverlap=fft_size - hop_size)
+
+    np.random.seed(111)
+    ref_solver = ref_ilrma.ConsistentGaussILRMA(
+        n_basis=2, fft_size=fft_size, hop_size=hop_size
+    )
+    ref_out = ref_solver(X.copy(), iteration=8)
+
+    np.random.seed(111)
+    solver = ConsistentGaussILRMA(
+        n_basis=2, fft_size=fft_size, hop_size=hop_size, guard="svd"
+    )
+    out = solver(X, iteration=8)
+    np.testing.assert_allclose(
+        np.asarray(solver.loss), np.asarray(ref_solver.loss), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-6)
