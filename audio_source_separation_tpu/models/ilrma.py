@@ -145,8 +145,8 @@ class ILRMABase(IVABase):
         return (T @ V) ** (2 / domain)
 
     def _estimation(self, state):
-        if "demix_filter" in state:
-            return self.separate(state["input"], state["demix_filter"])
+        # ``estimation == separate(X, demix_filter)`` is maintained by every
+        # update and at init, so no re-separation is needed
         return state["estimation"]
 
     def _materialized_filter(self, state):
@@ -156,10 +156,7 @@ class ILRMABase(IVABase):
 
     def finalize(self, state):
         X = state["input"]
-        if self._is_iss:
-            Y = state["estimation"]
-        else:
-            Y = self.separate(X, state["demix_filter"])
+        Y = state["estimation"]
         # projection-back is unconditional in ILRMA (``ilrma.py:269-271``)
         scale = projection_back(Y, reference=X[self.reference_id])
         return Y * scale[..., None]
@@ -365,7 +362,7 @@ class GaussILRMA(ILRMABase):
             W = self.compute_demix_filter(Y, X)
         else:
             W = state["demix_filter"]
-            Y = self.separate(X, W)
+            Y = state["estimation"]  # == separate(X, W) (update invariant)
         T = state["basis"]
 
         if self.normalize == "power" or self.normalize is True:
@@ -510,7 +507,7 @@ class TILRMA(ILRMABase):
         no condition guard (the reference floors the denominator instead)."""
         nu, eps = self.nu, self.eps
         X, W = state["input"], state["demix_filter"]
-        Y = self.separate(X, W)
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
         P = jnp.abs(Y) ** 2
         R = floor_below(self.source_variance(state), eps)
         Xi = (nu * R + 2 * P) / (nu + 2)
@@ -568,7 +565,7 @@ class TILRMA(ILRMABase):
             return state
         eps = self.eps
         X, W = state["input"], state["demix_filter"]
-        Y = self.separate(X, W)
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
         if self.normalize == "power" or self.normalize is True:
             P = jnp.abs(Y) ** 2
             aux = floor_below(jnp.sqrt(P.mean(axis=(1, 2))), eps)
@@ -669,12 +666,22 @@ class ConsistentGaussILRMA(GaussILRMA):
     def update_state(self, state):
         from ..transform.stft import istft, stft
 
-        # consistency projection (``ilrma.py:1206-1207``)
+        # consistency projection (``ilrma.py:1206-1207``).  NOTE (reference
+        # finding): in the reference the projected estimation is immediately
+        # discarded for IP mode — ``update_source_model_basic`` recomputes
+        # ``Y = separate(X, W)`` whenever ``demix_filter`` exists
+        # (``ilrma.py:360-364``), so the projection never feeds any update.
+        # We reproduce that behavior exactly (the projection below is dead
+        # code that XLA eliminates, kept for documentation parity).
         Y = state["estimation"]
         y = istft(Y, fft_size=self.fft_size, hop_size=self.hop_size)
         Y = stft(y, fft_size=self.fft_size, hop_size=self.hop_size)
         Y = Y[..., : state["estimation"].shape[-1]].astype(state["input"].dtype)
-        state = dict(state, estimation=Y)
+        del Y  # parity: the reference discards the projection (see NOTE)
+        state = dict(
+            state,
+            estimation=self.separate(state["input"], state["demix_filter"]),
+        )
 
         state = self._update_source_basic(state)
         state = self._update_spatial_ip(state)

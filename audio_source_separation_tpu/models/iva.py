@@ -85,7 +85,11 @@ class IVABase(IterativeSolver):
             demix_filter = self._default_filter(X)
         else:
             demix_filter = jnp.asarray(demix_filter, dtype=X.dtype)
-        if estimation is None:
+        # the reference always re-derives the estimates from W at reset
+        # (``bss/iva.py:59``, ``bss/ilrma.py:77``) — a passed ``estimation``
+        # only seeds ISS (which drops W); this keeps the invariant
+        # ``estimation == separate(X, demix_filter)`` so updates can reuse it
+        if estimation is None or not self._is_iss_like():
             estimation = self.separate(X, demix_filter)
         else:
             estimation = jnp.asarray(estimation, dtype=X.dtype)
@@ -95,6 +99,9 @@ class IVABase(IterativeSolver):
 
             state["pair_products"] = pair_products_planes(X)
         return state
+
+    def _is_iss_like(self):
+        return getattr(self, "algorithm_spatial", None) == "ISS"
 
     def _weighted_covariance(self, state, inv_weights):
         planes = state.get("pair_products")
@@ -348,10 +355,8 @@ class AuxIVABase(IVABase):
 
     def finalize(self, state):
         X = state["input"]
-        if self._is_iss:
-            Y = state["estimation"]
-        else:
-            Y = self.separate(X, state["demix_filter"])
+        # estimation == separate(X, demix_filter) is maintained by every update
+        Y = state["estimation"]
         if self.apply_projection_back:
             scale = projection_back(Y, reference=X[self.reference_id])
             Y = Y * scale[..., None]
