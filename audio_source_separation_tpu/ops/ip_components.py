@@ -21,28 +21,65 @@ Layouts:
 import jax.numpy as jnp
 
 
+def _plane_index(C):
+    """Compact Hermitian plane ordering: C diagonal real planes, then
+    (re, im) pairs for each off-diagonal c < d — C² planes total instead of
+    the naive 2·C² (``x_c x_d^* = conj(x_d x_c^*)``; diagonals are real)."""
+    index = {}
+    order = []
+    for c in range(C):
+        index[("re", c, c)] = len(order)
+        order.append(("re", c, c))
+    for c in range(C):
+        for d in range(c + 1, C):
+            index[("re", c, d)] = len(order)
+            order.append(("re", c, d))
+            index[("im", c, d)] = len(order)
+            order.append(("im", c, d))
+    return index, order
+
+
 def pair_products_planes(X):
-    """Stacked real pair-product planes ``(2, C, C, F, T)``:
-    ``planes[0] = Re(x_c x_d^*)``, ``planes[1] = Im(x_c x_d^*)``."""
-    PP = X[:, None] * X[None].conj()  # (C, C, F, T)
-    return jnp.stack([PP.real, PP.imag])
+    """Compact real pair-product planes ``(C², F, T)`` exploiting Hermitian
+    symmetry (halves the per-iteration covariance GEMM read vs storing all
+    ``2·C²`` re/im planes)."""
+    C = X.shape[0]
+    _, order = _plane_index(C)
+    planes = []
+    for kind, c, d in order:
+        prod = X[c] * X[d].conj()
+        planes.append(prod.real if kind == "re" else prod.imag)
+    return jnp.stack(planes)  # (C², F, T)
 
 
 def _covariance_planes(planes, weights):
-    """Real contraction over frames → ``(2, C, C, F, N)``.
+    """Real contraction over frames → ``(P, F, N)`` with P = C² compact planes.
 
-    2-D weights ``(N, T)``: one ``(2·C²·F, T) × (T, N)`` GEMM;
+    2-D weights ``(N, T)``: one ``(P·F, T) × (T, N)`` GEMM;
     3-D weights ``(N, F, T)`` (ILRMA-style per-bin variances): a bin-batched
     GEMM via einsum.
     """
-    two, C, _, F, T = planes.shape
+    P, F, T = planes.shape
     w = weights.astype(planes.dtype)
     if w.ndim == 2:
-        flat = planes.reshape(2 * C * C * F, T)
-        out = flat @ jnp.transpose(w) / T  # (2·C²·F, N)
-        return out.reshape(2, C, C, F, -1)
-    out = jnp.einsum("pft,nft->pfn", planes.reshape(2 * C * C, F, T), w) / T
-    return out.reshape(2, C, C, F, -1)
+        flat = planes.reshape(P * F, T)
+        out = flat @ jnp.transpose(w) / T  # (P·F, N)
+        return out.reshape(P, F, -1)
+    return jnp.einsum("pft,nft->pfn", planes, w) / T
+
+
+def _assemble_entry(out, index, c, d, n):
+    """Complex ``U[c][d]`` (F,) from compact contraction output ``(P, F, N)``."""
+    if c == d:
+        re = out[index[("re", c, c)], :, n]
+        return re + 0j
+    if c < d:
+        re = out[index[("re", c, d)], :, n]
+        im = out[index[("im", c, d)], :, n]
+        return re + 1j * im
+    re = out[index[("re", d, c)], :, n]
+    im = out[index[("im", d, c)], :, n]
+    return re - 1j * im
 
 
 def weighted_covariance_components(planes, weights):
@@ -50,12 +87,14 @@ def weighted_covariance_components(planes, weights):
 
     Returns a nested list ``U[n][c][d]`` of complex ``(F,)``.
     """
-    C = planes.shape[1]
+    P = planes.shape[0]
+    C = int(round(P**0.5))
+    index, _ = _plane_index(C)
     n_sources = weights.shape[0]
     out = _covariance_planes(planes, weights)
     return [
         [
-            [out[0, c, d, :, n] + 1j * out[1, c, d, :, n] for d in range(C)]
+            [_assemble_entry(out, index, c, d, n) for d in range(C)]
             for c in range(C)
         ]
         for n in range(n_sources)
@@ -65,9 +104,23 @@ def weighted_covariance_components(planes, weights):
 def weighted_covariance_planes_array(planes, weights):
     """Array-output variant: ``U (N, F, C, C)`` complex (for matrix-layout
     consumers like the IP2 pairwise math)."""
+    P = planes.shape[0]
+    C = int(round(P**0.5))
+    index, _ = _plane_index(C)
+    n_sources = weights.shape[0]
     out = _covariance_planes(planes, weights)
-    U = out[0] + 1j * out[1]  # (C, C, F, N)
-    return jnp.transpose(U, (3, 2, 0, 1))
+    rows = [
+        [
+            jnp.stack(
+                [_assemble_entry(out, index, c, d, n) for d in range(C)], axis=-1
+            )
+            for c in range(C)
+        ]
+        for n in range(n_sources)
+    ]
+    return jnp.stack(
+        [jnp.stack(r, axis=-2) for r in rows]
+    )  # (N, F, C, C)
 
 
 def ip_sweep_from_planes(W, planes, inv_weights, threshold=1e12, guard="one_norm"):
