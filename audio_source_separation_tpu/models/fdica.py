@@ -31,11 +31,9 @@ class FDICABase(IVABase):
     def nll(self, state):
         """Per-bin Laplace NLL: ``Σ_f (2 Σ_n mean_t |Y| − 2 log|det W_f|)``
         (``fdica.py:241-247``)."""
-        X, W = state["input"], state["demix_filter"]
-        Y = self.separate(X, W)
-        loss = 2 * jnp.abs(Y).sum(axis=0).mean(axis=1) - 2 * jnp.log(
-            jnp.exp(batched_log_abs_det(W))
-        )
+        W = state["demix_filter"]
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
+        loss = 2 * jnp.abs(Y).sum(axis=0).mean(axis=1) - 2 * batched_log_abs_det(W)
         return loss.sum()
 
     def _score(self, Yb):

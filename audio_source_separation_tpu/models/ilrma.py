@@ -423,7 +423,7 @@ class GaussILRMA(ILRMABase):
         X = state["input"]
         n_frames = X.shape[-1]
         W = self._materialized_filter(state)
-        Y = state["estimation"] if self._is_iss else self.separate(X, W)
+        Y = state["estimation"]  # == separate(X, W) for non-ISS (invariant)
         P = jnp.abs(Y) ** 2
         R = floor_below(self.source_variance(state), self.eps)
         return jnp.sum(P / R + jnp.log(R)) - 2 * n_frames * jnp.sum(
@@ -600,7 +600,7 @@ class TILRMA(ILRMABase):
         X = state["input"]
         n_frames = X.shape[-1]
         W = self._materialized_filter(state)
-        Y = self.separate(X, W)
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
         P = jnp.abs(Y) ** 2
         R = floor_below(self.source_variance(state), eps)
         return jnp.sum(

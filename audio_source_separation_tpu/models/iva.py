@@ -166,8 +166,8 @@ class GradIVABase(IVABase):
         return Yb / denominator
 
     def nll(self, state):
-        X, W = state["input"], state["demix_filter"]
-        Y = self.separate(X, W)
+        W = state["demix_filter"]
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
         P = jnp.sum(jnp.abs(Y) ** 2, axis=1)  # (N, T)
         return (
             2 * jnp.sqrt(P).sum(axis=0).mean()
@@ -393,7 +393,7 @@ class AuxLaplaceIVA(AuxIVABase):
     def nll(self, state):
         X = state["input"]
         W = self._materialized_filter(state)
-        Y = state["estimation"] if self._is_iss else self.separate(X, W)
+        Y = state["estimation"]  # == separate(X, W) for non-ISS (invariant)
         n_frames = X.shape[-1]
         P = jnp.sum(jnp.abs(Y) ** 2, axis=1)
         R = 2 * jnp.sqrt(P)
@@ -421,7 +421,7 @@ class AuxGaussIVA(AuxIVABase):
     def nll(self, state):
         X = state["input"]
         W = self._materialized_filter(state)
-        Y = self.separate(X, W)
+        Y = state["estimation"]  # == separate(X, W) for non-ISS (invariant)
         n_bins, n_frames = X.shape[1], X.shape[2]
         P = jnp.abs(Y) ** 2
         R = floor_below(P.mean(axis=1), self.eps)
