@@ -25,12 +25,15 @@ def solve_permutation(W, Y, eps=EPS):
         Y: current estimates ``(n_sources, n_bins, n_frames)`` (NumPy).
     Returns:
         permutation-aligned ``W`` (NumPy copy).
+
+    The sequential greedy core runs in native C when the toolchain is
+    available (``native/permutation.c`` via
+    :mod:`audio_source_separation_tpu.native`), with this NumPy
+    implementation as the fallback; both produce identical permutations.
     """
     W = np.array(W)
     Y = np.asarray(Y)
     n_sources, n_bins, _ = Y.shape
-
-    permutations = list(itertools.permutations(range(n_sources)))
 
     P = np.abs(Y).transpose(1, 0, 2)  # (n_bins, n_sources, n_frames)
     norm = np.sqrt(np.sum(P**2, axis=1, keepdims=True))
@@ -39,6 +42,15 @@ def solve_permutation(W, Y, eps=EPS):
     correlation = np.sum(P @ P.transpose(0, 2, 1), axis=(1, 2))  # (n_bins,)
     indices = np.argsort(correlation)
 
+    from ..native import solve_permutation_native
+
+    perms = solve_permutation_native(P, indices)
+    if perms is not None:
+        for f in range(n_bins):
+            W[f, :, :] = W[f, perms[f], :]
+        return W
+
+    permutations = list(itertools.permutations(range(n_sources)))
     min_idx = indices[0]
     P_criteria = P[min_idx]  # (n_sources, n_frames)
 

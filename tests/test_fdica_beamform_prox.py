@@ -189,3 +189,37 @@ def test_prox_iva_separates(rng):
 def test_sparse_prox_iva_raises():
     with pytest.raises(NotImplementedError):
         SparseProxIVA()
+
+
+def test_native_permutation_matches_numpy(rng):
+    """The C permutation solver (if the toolchain builds it) must produce the
+    exact permutations of the NumPy fallback."""
+    from audio_source_separation_tpu.native import solve_permutation_native
+    import itertools
+
+    n_sources, n_bins, n_frames = 3, 24, 40
+    Y = np.abs(rng.randn(n_sources, n_bins, n_frames)) + 0.05
+    P = Y.transpose(1, 0, 2)
+    norm = np.sqrt(np.sum(P**2, axis=1, keepdims=True))
+    P = P / np.maximum(norm, 1e-12)
+    correlation = np.sum(P @ P.transpose(0, 2, 1), axis=(1, 2))
+    order = np.argsort(correlation)
+
+    perms = solve_permutation_native(P, order)
+    if perms is None:
+        pytest.skip("native toolchain unavailable")
+
+    # numpy reference of the greedy loop
+    expected = np.tile(np.arange(n_sources), (n_bins, 1))
+    crit = P[order[0]].copy()
+    permutations = list(itertools.permutations(range(n_sources)))
+    for idx in range(1, n_bins):
+        f = order[idx]
+        best, best_perm = -np.inf, None
+        for perm in permutations:
+            score = np.sum(crit * P[f, perm, :])
+            if score > best:
+                best, best_perm = score, perm
+        crit = crit + P[f, best_perm, :]
+        expected[f] = best_perm
+    np.testing.assert_array_equal(perms, expected)
