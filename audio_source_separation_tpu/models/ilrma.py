@@ -200,6 +200,7 @@ class GaussILRMA(ILRMABase):
         eps=EPS,
         threshold=THRESHOLD,
         guard="one_norm",
+        iss_compat=False,
     ):
         super().__init__(
             n_basis=n_basis,
@@ -215,6 +216,8 @@ class GaussILRMA(ILRMABase):
         self.reference_id = reference_id
         self.threshold = threshold
         self.guard = guard
+        # opt-in reference-exact ISS self-steering scale (see ops/iss.py)
+        self.iss_compat = iss_compat
         if self.algorithm_spatial == "ISS":
             warnings.warn("in progress", UserWarning)
 
@@ -311,7 +314,7 @@ class GaussILRMA(ILRMABase):
     def _update_spatial_iss(self, state):
         Y = state["estimation"]
         R = floor_below(self.source_variance(state), self.eps)
-        Y = iss_sweep(Y, 1.0 / R)
+        Y = iss_sweep(Y, 1.0 / R, compat=getattr(self, "iss_compat", False))
         return dict(state, estimation=Y)
 
     def _update_spatial_pairwise(self, state, m, n):

@@ -244,6 +244,7 @@ class AuxIVABase(IVABase):
         eps=EPS,
         threshold=THRESHOLD,
         guard="one_norm",
+        iss_compat=False,
     ):
         super().__init__(callbacks=callbacks, recordable_loss=recordable_loss, eps=eps)
         self.algorithm_spatial = algorithm_spatial
@@ -251,6 +252,8 @@ class AuxIVABase(IVABase):
         self.apply_projection_back = apply_projection_back
         self.threshold = threshold
         self.guard = guard
+        # opt-in reference-exact ISS self-steering scale (see ops/iss.py)
+        self.iss_compat = iss_compat
         if self.algorithm_spatial not in __algorithms_spatial__:
             raise ValueError(
                 "Not support {} based spatial updates.".format(self.algorithm_spatial)
@@ -297,7 +300,7 @@ class AuxIVABase(IVABase):
     def _update_iss(self, state):
         X, Y = state["input"], state["estimation"]
         R = floor_below(self.source_weights(Y), self.eps)
-        Y = iss_sweep(Y, 1.0 / R)
+        Y = iss_sweep(Y, 1.0 / R, compat=getattr(self, "iss_compat", False))
         return dict(state, estimation=Y)
 
     def _update_pairwise(self, state):

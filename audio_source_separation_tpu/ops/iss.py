@@ -12,15 +12,17 @@ the reference uses ``v_nn = 1 − 1/√D_nn`` with ``D_nn = Σ_t |Y_n|²/R_n``
 is weighted by 1 instead of ``n_frames`` — inconsistent with its own NLL
 (``bss/iva.py:617``: ``−2·n_frames·Σ log|det W|``) and therefore *increases*
 that NLL on already-separated inputs.  The correct minimizer of the documented
-NLL is ``v_nn = 1 − √(n_frames / D_nn)``, which is what this kernel uses; it
-restores the auxiliary-function monotone-descent guarantee
-(verified in ``tests/test_iva.py``).
+NLL is ``v_nn = 1 − √(n_frames / D_nn)``, which is what this kernel uses by
+default; it restores the auxiliary-function monotone-descent guarantee
+(verified in ``tests/test_iva.py``).  ``compat=True`` reproduces the
+reference's exact scaling so the divergence is regression-tested from both
+sides (``tests/test_reference_parity.py``).
 """
 
 import jax.numpy as jnp
 
 
-def iss_sweep(Y, inv_R):
+def iss_sweep(Y, inv_R, compat=False):
     """One full ISS sweep.
 
     Args:
@@ -29,6 +31,9 @@ def iss_sweep(Y, inv_R):
             bin-coupled contrast) or ``(n_sources, n_bins, n_frames)`` (ILRMA,
             per-bin NMF variances, ``bss/ilrma.py:537-564``); ``1/R`` with
             ``R`` floored.
+        compat: reproduce the reference's self-steering scale
+            ``v_nn = 1 − 1/√D_nn`` (``bss/iva.py:539``) instead of the
+            NLL-consistent ``1 − √(T/D_nn)`` (see module docstring).
     Returns:
         updated ``Y``.
     """
@@ -40,6 +45,7 @@ def iss_sweep(Y, inv_R):
         U_n = jnp.sum(Y * Yn.conj() * w, axis=2)  # (n_sources, n_bins)
         D_n = jnp.sum(jnp.abs(Yn) ** 2 * w, axis=2).real  # (n_sources, n_bins)
         V_n = U_n / D_n
-        V_n = V_n.at[n].set(1 - jnp.sqrt(n_frames / D_n[n]))
+        scale = 1.0 if compat else n_frames
+        V_n = V_n.at[n].set(1 - jnp.sqrt(scale / D_n[n]))
         Y = Y - V_n[:, :, None] * Yn
     return Y
