@@ -37,7 +37,7 @@ import numpy as np
 
 from ..algorithm.projection_back import projection_back
 from ..ops.blocks import BlockLayout
-from ..ops.fast_linalg import batched_log_abs_det
+from ..ops.fast_linalg import batched_eigvalsh, batched_inv, batched_log_abs_det
 from ..utils.flooring import floor_below
 from ..utils.linalg import to_psd
 from .iva import IVABase
@@ -57,6 +57,108 @@ def _psd_sqrt(M, layout, eps=EPS):
     w = jnp.sqrt(jnp.maximum(w, 0))
     S = (v * w[..., None, :]) @ jnp.swapaxes(v, -2, -1).conj()
     return to_psd(S, eps=eps)
+
+
+# --------------------------------------------------------------------------- #
+# fused spectral helpers — ONE eigh supplying whole to_PSD/inv/sqrt chains.
+#
+# The reference guards every block matrix with to_PSD (eigvalsh + scalar shift,
+# ``utils/utils_linalg.py:9-31``) and then separately inverts / square-roots /
+# eig-decomposes the SAME matrix (``bss/ipsdta.py:536-621``).  Since to_PSD's
+# shift is a scalar multiple of the identity, the eigenbasis is shared by the
+# whole chain: one eigh yields to_PSD(M), to_PSD(inv(...)), and the matrix
+# square root with *identical* semantics — cutting the per-iteration count of
+# eigendecompositions on ``(S, T|K, n_blocks, B, B)`` tensors by ~4×.
+# --------------------------------------------------------------------------- #
+def _herm(M):
+    return (M + jnp.swapaxes(M, -2, -1).conj()) / 2
+
+
+def _spectral(v, w):
+    """``v · diag(w) · v^H`` (w real)."""
+    return (v * w[..., None, :].astype(v.dtype)) @ jnp.swapaxes(v, -2, -1).conj()
+
+
+def _psd_parts(M, eps=EPS):
+    """``(R, wR)`` with ``R = to_psd(M, eps)`` (exact reference semantics:
+    hermitize + ``(eps·tr − min(min_eig, 0))·I``) and ``wR`` its eigenvalues.
+    Eigenvalues come from the closed forms (``ops/fast_linalg``) for the
+    B ≤ 3 block sizes — no iterative eigensolver on the hot
+    ``(S, T, n_blocks, B, B)`` tensors."""
+    H = _herm(M)
+    w = batched_eigvalsh(H)
+    delta = jnp.minimum(jnp.min(w, axis=-1), 0)
+    trace = jnp.trace(H, axis1=-2, axis2=-1).real
+    shift = eps * trace - delta
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    return H + shift[..., None, None] * eye, w + shift[..., None]
+
+
+def _psd_inv(R, eps=EPS, psd=True):
+    """``inv(R)`` of a (to_psd-projected, hence invertible) block matrix via
+    the closed-form adjugate (B ≤ 3); ``psd=True`` applies the reference's
+    trailing ``to_psd(inv(R))`` — R's eigenvalues are positive, so the
+    inverse's are too and the shift reduces to the ``eps·tr`` ridge."""
+    inv = batched_inv(R)
+    if psd:
+        inv = _herm(inv)
+        ridge = eps * jnp.trace(inv, axis1=-2, axis2=-1).real
+        eye = jnp.eye(inv.shape[-1], dtype=inv.dtype)
+        inv = inv + ridge[..., None, None] * eye
+    return inv
+
+
+def _psd_ridge(S, eps=EPS):
+    """``to_psd`` of an already-PSD matrix: the min-eigenvalue delta is 0, so
+    the shift reduces to the ``eps·trace`` identity ridge."""
+    S = _herm(S)
+    ridge = eps * jnp.trace(S, axis1=-2, axis2=-1).real
+    eye = jnp.eye(S.shape[-1], dtype=S.dtype)
+    return S + ridge[..., None, None] * eye
+
+
+def _psd_sqrt_fused(M, eps=EPS):
+    """``_psd_sqrt(to_psd(M, eps))`` with ONE eigh (the to_psd shift is
+    scalar·I, so the eigenbasis is shared)."""
+    H = _herm(M)
+    w, v = jnp.linalg.eigh(H)
+    delta = jnp.minimum(jnp.min(w, axis=-1), 0)
+    trace = jnp.trace(H, axis1=-2, axis2=-1).real
+    shift = eps * trace - delta
+    sw = jnp.sqrt(jnp.maximum(w + shift[..., None], 0))
+    return _psd_ridge(_spectral(v, sw), eps=eps)
+
+
+def _sqrt_and_invsqrt_after_psd(C, pad_diag, eps=EPS):
+    """The reference's sqrt chain tail (``ipsdta.py:585-621``) fused into one
+    eigh: given ``C`` (zero padded rows/cols), computes
+
+      ``E = pad_identity(to_psd(C, eps))``, ``sqrt_E = to_psd(E^{1/2})`` and
+      ``inv_sqrt_E = to_psd(inv(sqrt_E))``
+
+    returning ``(sqrt_E, inv_sqrt_E)``.  The eigh runs on
+    ``herm(C) + pad_diag``; since C's padded rows/cols are zero, the to_psd
+    delta/trace of herm(C) are recovered exactly from that decomposition
+    (padded slots contribute eigenvalue 1 > 0 and trace ``n_pad``).
+    """
+    H = _herm(C)
+    n_pad = jnp.trace(pad_diag, axis1=-2, axis2=-1).real
+    Hp = H + pad_diag
+    w, v = jnp.linalg.eigh(Hp)
+    delta = jnp.minimum(jnp.min(w, axis=-1), 0)
+    trace = jnp.trace(Hp, axis1=-2, axis2=-1).real - n_pad
+    shift = eps * trace - delta
+    wE = w + shift[..., None]
+
+    sw = jnp.sqrt(jnp.maximum(wE, 0))
+    ridge1 = eps * sw.sum(axis=-1)
+    eye = jnp.eye(C.shape[-1], dtype=C.dtype)
+    sqrt_E = _herm(_spectral(v, sw)) + ridge1[..., None, None] * eye
+
+    iw = 1.0 / (sw + ridge1[..., None])
+    ridge2 = eps * iw.sum(axis=-1)
+    inv_sqrt_E = _herm(_spectral(v, iw)) + ridge2[..., None, None] * eye
+    return sqrt_E, inv_sqrt_E
 
 
 class IPSDTABase(IVABase):
@@ -198,6 +300,12 @@ class GaussIPSDTA(IPSDTABase):
         R = to_psd(layout.pad_identity(R), eps=self.eps)
         return R
 
+    def _R_blocks_parts(self, U, V, layout):
+        """Like :meth:`_R_blocks` but also returns the eigenvalues
+        (``(R, wR)``, closed forms for B ≤ 3) so log-dets come for free."""
+        R = jnp.einsum("skbij,skt->stbij", U, V.astype(U.dtype))
+        return _psd_parts(layout.pad_identity(R), eps=self.eps)
+
     def _y_blocks(self, Y, layout):
         """estimates ``(S, F, T) → (S, T, n_blocks, B)`` zero-padded."""
         Yt = jnp.transpose(Y, (0, 2, 1))  # (S, T, F)
@@ -211,12 +319,12 @@ class GaussIPSDTA(IPSDTABase):
         U = self._U_kmajor(state)  # (S, K, nb, B, B)
         V = state["activation"]  # (S, K, T)
         X = state["input"]
-        Y = self.separate(X, state["demix_filter"])
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
         y = self._y_blocks(Y, layout)  # (S, T, nb, B)
         n_bins = X.shape[1]
 
-        R = self._R_blocks(U, V, layout)  # (S, T, nb, B, B)
-        inv_R = jnp.linalg.inv(R)
+        R, _ = self._R_blocks_parts(U, V, layout)  # (S, T, nb, B, B)
+        inv_R = _psd_inv(R, psd=False)
         z = jnp.einsum("stbij,stbj->stbi", inv_R, y)  # R⁻¹ y
 
         # --- basis:  U_new,k = U_k A_k U_k + U_k  with
@@ -238,8 +346,8 @@ class GaussIPSDTA(IPSDTABase):
         # --- activation: V_new = tr(U⁻¹Φ)/n_bins
         #   = [V² Σ_b z^H U z + V·n_bins − V² Σ_b tr(R⁻¹U)] / n_bins
         U = self._U_kmajor(state)
-        R = self._R_blocks(U, V, layout)
-        inv_R = jnp.linalg.inv(R)
+        R, _ = self._R_blocks_parts(U, V, layout)
+        inv_R = _psd_inv(R, psd=False)
         z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
         zUz = jnp.einsum("stbi,skbij,stbj->skt", z.conj(), U, z).real
         trRU = jnp.einsum("stbij,skbji->skt", inv_R, U).real
@@ -254,13 +362,16 @@ class GaussIPSDTA(IPSDTABase):
         eps = self.eps
         U = self._U_kmajor(state)
         V = state["activation"]
-        X = state["input"]
-        Y = self.separate(X, state["demix_filter"])
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
         y = self._y_blocks(Y, layout)
+        B = layout.block_size
+        pad_diag = (~layout.valid).astype(U.real.dtype)[..., None] * jnp.eye(
+            B, dtype=U.dtype
+        )
 
         # --- basis (matrix-sqrt chain)
-        R = self._R_blocks(U, V, layout)
-        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        R, _ = self._R_blocks_parts(U, V, layout)
+        inv_R = _psd_inv(R, eps=eps, psd=True)
         z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
         # RyyR = z z^H + eps·R⁻¹R⁻¹ (the reference adds eps·I to yy^H first)
         RyyR = z[..., :, None] * z[..., None, :].conj() + eps * (inv_R @ inv_R)
@@ -268,20 +379,25 @@ class GaussIPSDTA(IPSDTABase):
         S_k = jnp.einsum("skt,stbij->skbij", Vc, RyyR)
         T_k = jnp.einsum("skt,stbij->skbij", Vc, inv_R)
 
-        sqrt_S = _psd_sqrt(to_psd(layout.pad_identity(S_k), eps=eps), layout, eps)
-        STUTS = to_psd(sqrt_S @ U @ T_k @ U @ sqrt_S, eps=eps)
-        sqrt_STUTS = _psd_sqrt(layout.pad_identity(STUTS), layout, eps)
-        inv_sqrt = to_psd(jnp.linalg.inv(sqrt_STUTS), eps=eps)
+        sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
+        sqrt_STUTS, inv_sqrt = _sqrt_and_invsqrt_after_psd(
+            sqrt_S @ U @ T_k @ U @ sqrt_S, pad_diag, eps=eps
+        )
+        del sqrt_STUTS  # only the inverse square root feeds the update
         U_new = to_psd(U @ sqrt_S @ inv_sqrt @ sqrt_S @ U, eps=eps)
         U_new = layout.zero_padding_matrix(U_new)
         state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
 
         # --- activation (trace ratio, ``ipsdta.py:625-688``)
         U = self._U_kmajor(state)
-        R = self._R_blocks(U, V, layout)
+        R, _ = self._R_blocks_parts(U, V, layout)
         yy = y[..., :, None] * y[..., None, :].conj()
-        yy = to_psd(layout.pad_identity(yy, scale=0.0) + eps * jnp.eye(layout.block_size, dtype=yy.dtype), eps=eps)
-        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        # yy + eps·I is PSD with eigenvalues ≥ eps, so its to_psd reduces to
+        # the eps·trace ridge — no eigvalsh needed
+        yy = _psd_ridge(
+            yy + eps * jnp.eye(B, dtype=yy.dtype), eps=eps
+        )
+        inv_R = _psd_inv(R, eps=eps, psd=True)
         Ryy = inv_R @ yy
         num = jnp.einsum("stbij,skbjl,stbli->skt", inv_R, U, Ryy).real
         den = jnp.einsum("stbij,skbji->skt", inv_R, U).real
@@ -293,7 +409,15 @@ class GaussIPSDTA(IPSDTABase):
     # ------------------------------------------------------------------ #
     # spatial model — VCD (Kondo, ``ipsdta.py:820-975``)
     # ------------------------------------------------------------------ #
-    def _update_spatial_vcd(self, state, layout):
+    def _update_spatial_vcd(self, state, layout, n_spatial=1):
+        """VCD sweeps (``ipsdta.py:820-975``).  All ``n_spatial`` sweeps run
+        inside one call so the sweep-invariant quantities — the block source
+        covariances ``R_n`` (basis/activation only), their inverses, the
+        per-(source, bin) spatial covariances ``Q`` and the blocked data
+        tensors — are computed ONCE instead of per sweep (the reference
+        recomputes them every sweep; Kondo's default is 10 sweeps/iteration).
+        The per-row solves use the closed-form C×C inverses
+        (``ops/fast_linalg``) batched over blocks."""
         eps = self.eps
         X = state["input"]  # (C, F, T)
         W = state["demix_filter"]  # (F, N, C)
@@ -316,55 +440,69 @@ class GaussIPSDTA(IPSDTABase):
         Wb = jnp.where(invalid, eyeNC, Wb)
 
         XX = Xb[..., :, None] * Xb[..., None, :].conj()  # (T, nb, B, C, C)
-
         mask_offdiag = 1 - jnp.eye(B)
 
+        # ---- sweep invariants (depend only on the source model) ----
+        inv_R_all, Q_all = [], []
         for n in range(n_sources):
-            U_n = U[n]  # (K, nb, B, B)
-            V_n = V[n]  # (K, T)
-            R_n = jnp.einsum("kbij,kt->tbij", U_n, V_n.astype(U_n.dtype))
-            R_n = to_psd(layout.pad_identity(R_n), eps=eps)
-            inv_R_n = to_psd(jnp.linalg.inv(R_n), eps=eps)  # (T, nb, B, B)
-            inv_R_diag = jnp.diagonal(inv_R_n, axis1=-2, axis2=-1).real  # (T, nb, B)
+            R_n = jnp.einsum(
+                "kbij,kt->tbij", U[n], V[n].astype(U.dtype)
+            )
+            R_n_psd, _ = _psd_parts(layout.pad_identity(R_n), eps=eps)
+            inv_R_n = _psd_inv(R_n_psd, eps=eps, psd=True)  # (T, nb, B, B)
+            inv_R_diag = jnp.diagonal(inv_R_n, axis1=-2, axis2=-1).real
+            # Q[j] for every in-block bin j in one contraction
+            Q_n = (
+                jnp.einsum("tbj,tbjcd->bjcd", inv_R_diag, XX) / n_frames
+            )  # (nb, B, C, C)
+            inv_R_all.append(inv_R_n)
+            Q_all.append(to_psd(Q_n, eps=eps))
 
-            for j in range(B):
-                # current demixed projections  (nb, B', T)
-                w_n = Wb[:, :, n, :].conj()  # (nb, B', C)
-                Xw_n = jnp.einsum("tbic,bic->bit", Xb.conj(), w_n)
+        for _ in range(n_spatial):
+            for n in range(n_sources):
+                inv_R_n, Q_n = inv_R_all[n], Q_all[n]
+                # demixed projections of source n, updated row-wise below
+                Xw_n = jnp.einsum(
+                    "tbic,bic->bit", Xb.conj(), Wb[:, :, n, :].conj()
+                )  # (nb, B, T)
 
-                Q = jnp.einsum(
-                    "tb,tbcd->bcd", inv_R_diag[:, :, j], XX[:, :, j]
-                ) / n_frames  # (nb, C, C)
-                Q = to_psd(Q, eps=eps)
+                for j in range(B):
+                    Q = Q_n[:, j]  # (nb, C, C)
 
-                # gamma: cross-bin coupling within the block (off-diagonal)
-                # RXXw[b, i, c] = mean_t inv_R_n[t, b, j, i] X[t, b, j, c] Xw_n[b, i, t]
-                RXXw = jnp.einsum(
-                    "tbi,tbc,bit->bic", inv_R_n[:, :, :, j], Xb[:, :, j, :], Xw_n
-                ) / n_frames
-                gamma = jnp.einsum("i,bic->bc", mask_offdiag[j].astype(RXXw.real.dtype), RXXw)
+                    # gamma: cross-bin coupling within the block (off-diagonal)
+                    RXXw = jnp.einsum(
+                        "tbi,tbc,bit->bic",
+                        inv_R_n[:, :, :, j],
+                        Xb[:, :, j, :],
+                        Xw_n,
+                    ) / n_frames
+                    gamma = jnp.einsum(
+                        "i,bic->bc", mask_offdiag[j].astype(RXXw.real.dtype), RXXw
+                    )
 
-                WQ = Wb[:, j] @ Q  # (nb, N, C)
-                e_n = jnp.broadcast_to(
-                    eyeNC[n], (layout.n_blocks, n_channels)
-                )
-                zeta = jnp.linalg.solve(WQ, e_n[..., None])[..., 0]  # (nb, C)
-                zeta_hat = jnp.linalg.solve(Q, gamma[..., None])[..., 0]
-                eta = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta).real
-                eta_hat = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta_hat)
+                    WQ = Wb[:, j] @ Q  # (nb, N, C)
+                    zeta = batched_inv(WQ)[..., :, n]  # solve(WQ, e_n)
+                    zeta_hat = jnp.einsum(
+                        "bcd,bd->bc", batched_inv(Q), gamma
+                    )
+                    eta = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta).real
+                    eta_hat = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta_hat)
 
-                eta = floor_below(eta, eps)
-                small = jnp.abs(eta_hat) < eps
-                eta_hat_f = jnp.where(small, eps, eta_hat)
-                weight = (eta_hat_f / (2 * eta)) * (
-                    1 - jnp.sqrt(1 + 4 * eta / (jnp.abs(eta_hat_f) ** 2))
-                )
-                weight = jnp.where(small, 1 / jnp.sqrt(eta), weight)
-                w_new = weight[:, None] * zeta - zeta_hat
-                valid_j = layout.valid[:, j][:, None]
-                Wb = Wb.at[:, j, n, :].set(
-                    jnp.where(valid_j, w_new.conj(), Wb[:, j, n, :])
-                )
+                    eta = floor_below(eta, eps)
+                    small = jnp.abs(eta_hat) < eps
+                    eta_hat_f = jnp.where(small, eps, eta_hat)
+                    weight = (eta_hat_f / (2 * eta)) * (
+                        1 - jnp.sqrt(1 + 4 * eta / (jnp.abs(eta_hat_f) ** 2))
+                    )
+                    weight = jnp.where(small, 1 / jnp.sqrt(eta), weight)
+                    w_new = weight[:, None] * zeta - zeta_hat
+                    valid_j = layout.valid[:, j][:, None]
+                    w_row = jnp.where(valid_j, w_new.conj(), Wb[:, j, n, :])
+                    Wb = Wb.at[:, j, n, :].set(w_row)
+                    # refresh only the changed projection row
+                    Xw_n = Xw_n.at[:, j].set(
+                        jnp.einsum("tbc,bc->bt", Xb[:, :, j, :].conj(), w_row.conj())
+                    )
 
         # scatter back to (F, N, C)
         W_new = layout.scatter(jnp.transpose(Wb, (2, 3, 0, 1)))  # (N, C, F)
@@ -389,8 +527,8 @@ class GaussIPSDTA(IPSDTABase):
         n_frames = X.shape[-1]
         B = layout.block_size
 
-        R = self._R_blocks(U, V, layout)  # (S, T, nb, B, B)
-        inv_Rc = jnp.linalg.inv(R.conj() + eps * jnp.eye(B, dtype=R.dtype))
+        R, _ = self._R_blocks_parts(U, V, layout)  # (S, T, nb, B, B)
+        inv_Rc = batched_inv(R.conj() + eps * jnp.eye(B, dtype=R.dtype))
 
         Xt = jnp.transpose(X, (2, 1, 0))  # (T, F, C)
         Xb = layout.gather(jnp.moveaxis(Xt, -1, 0))  # (C, T, nb, B)
@@ -465,11 +603,15 @@ class GaussIPSDTA(IPSDTABase):
             state = self._update_source_mm(state, layout)
         if self.normalize:
             state = self._normalize_psdtf(state)
-        for _ in range(self.spatial_iteration):
-            if self.algorithm_spatial == "fixed-point":
+        if self.algorithm_spatial == "fixed-point":
+            for _ in range(self.spatial_iteration):
                 state = self._update_spatial_fixed_point(state, layout)
-            else:
-                state = self._update_spatial_vcd(state, layout)
+        else:
+            # all VCD sweeps in one call: sweep-invariant covariances are
+            # hoisted (the reference recomputes them every sweep)
+            state = self._update_spatial_vcd(
+                state, layout, n_spatial=self.spatial_iteration
+            )
         return state
 
     def nll(self, state):
@@ -479,26 +621,27 @@ class GaussIPSDTA(IPSDTABase):
         layout = self._layout(state["input"].shape[1])
         X, W = state["input"], state["demix_filter"]
         n_frames = X.shape[-1]
-        Y = self.separate(X, W)
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
         y = self._y_blocks(Y, layout)
         U = self._U_kmajor(state)
         V = state["activation"]
 
-        R = self._R_blocks(U, V, layout)
-        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        # closed-form eigenvalues supply both the log-det and (via the
+        # adjugate inverse) the quadratic form — no eigensolver in the loss
+        R, wR = self._R_blocks_parts(U, V, layout)
+        inv_R = _psd_inv(R, eps=eps, psd=True)
         z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
         yRy = jnp.einsum("stbi,stbi->st", y.conj(), z).real
 
-        eigvals = jnp.maximum(jnp.linalg.eigvalsh(R), eps)
         # padded dims contribute log(1) = 0 via the injected identity
-        logdet_R = jnp.log(eigvals).sum(axis=(-2, -1))  # (S, T)
+        logdet_R = jnp.log(jnp.maximum(wR, eps)).sum(axis=(-2, -1))  # (S, T)
 
         logdet_W = batched_log_abs_det(W)
         return jnp.sum(yRy + logdet_R) - 2 * n_frames * logdet_W.sum()
 
     def finalize(self, state):
         X = state["input"]
-        Y = self.separate(X, state["demix_filter"])
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
         scale = projection_back(Y, reference=X[self.reference_id])
         return Y * scale[..., None]
 
@@ -554,14 +697,15 @@ class TIPSDTA(GaussIPSDTA):
 
     def _pi_weight(self, state, layout):
         """Posterior weights ``π (S, T)``."""
-        X, W = state["input"], state["demix_filter"]
+        X = state["input"]
         n_bins = X.shape[1]
-        Y = self.separate(X, W)
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
         y = self._y_blocks(Y, layout)
         U = self._U_kmajor(state)
         V = state["activation"]
-        R = self._R_blocks(U, V, layout)
-        z = jnp.einsum("stbij,stbj->stbi", jnp.linalg.inv(R), y)
+        R, _ = self._R_blocks_parts(U, V, layout)
+        inv_R = _psd_inv(R, psd=False)
+        z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
         yRy = jnp.einsum("stbi,stbi->st", y.conj(), z).real
         return (self.nu + 2 * n_bins) / (self.nu + 2 * yRy)
 
@@ -572,12 +716,15 @@ class TIPSDTA(GaussIPSDTA):
         V = state["activation"]
         eps = self.eps
         U = self._U_kmajor(state)
-        X = state["input"]
-        Y = self.separate(X, state["demix_filter"])
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
         y = self._y_blocks(Y, layout)
+        B = layout.block_size
+        pad_diag = (~layout.valid).astype(U.real.dtype)[..., None] * jnp.eye(
+            B, dtype=U.dtype
+        )
 
-        R = self._R_blocks(U, V, layout)
-        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        R, _ = self._R_blocks_parts(U, V, layout)
+        inv_R = _psd_inv(R, eps=eps, psd=True)
         z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
         pi_c = pi.astype(U.dtype)
         RyyR = (
@@ -587,10 +734,10 @@ class TIPSDTA(GaussIPSDTA):
         S_k = jnp.einsum("skt,stbij->skbij", Vc, RyyR)
         T_k = jnp.einsum("skt,stbij->skbij", Vc, inv_R)
 
-        sqrt_S = _psd_sqrt(to_psd(layout.pad_identity(S_k), eps=eps), layout, eps)
-        STUTS = to_psd(sqrt_S @ U @ T_k @ U @ sqrt_S, eps=eps)
-        sqrt_STUTS = _psd_sqrt(layout.pad_identity(STUTS), layout, eps)
-        inv_sqrt = to_psd(jnp.linalg.inv(sqrt_STUTS), eps=eps)
+        sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
+        _, inv_sqrt = _sqrt_and_invsqrt_after_psd(
+            sqrt_S @ U @ T_k @ U @ sqrt_S, pad_diag, eps=eps
+        )
         U_new = to_psd(U @ sqrt_S @ inv_sqrt @ sqrt_S @ U, eps=eps)
         U_new = layout.zero_padding_matrix(U_new)
         state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
@@ -600,10 +747,10 @@ class TIPSDTA(GaussIPSDTA):
         # and applied to the summed numerator only
         pi2 = self._pi_weight(state, layout)
         U = self._U_kmajor(state)
-        R = self._R_blocks(U, V, layout)
+        R, _ = self._R_blocks_parts(U, V, layout)
         yy = y[..., :, None] * y[..., None, :].conj()
         yy = yy + eps * jnp.eye(layout.block_size, dtype=yy.dtype)
-        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        inv_R = _psd_inv(R, eps=eps, psd=True)
         Ryy = inv_R @ yy
         num = jnp.einsum("stbij,skbjl,stbli->skt", inv_R, U, Ryy).real
         den = jnp.einsum("stbij,skbji->skt", inv_R, U).real
@@ -612,10 +759,14 @@ class TIPSDTA(GaussIPSDTA):
         V_new = V * jnp.sqrt(num / den)
         return dict(state, activation=V_new)
 
-    def _update_spatial_vcd(self, state, layout):
+    def _update_spatial_vcd(self, state, layout, n_spatial=1):
         """t-VCD (``ipsdta.py:1472-1660``): the Gauss VCD with the posterior
         weight ``π_n(t)`` recomputed inside every neighbor sweep from the
-        CURRENT demixing rows and applied to the frame statistics."""
+        CURRENT demixing rows and applied to the frame statistics.  The
+        source-model covariances (``R_n`` spectra) are sweep-invariant and
+        hoisted out of all ``n_spatial × B`` inner bodies; the per-row solves
+        use closed-form C×C inverses; the demixed projections ``Xw`` are
+        updated incrementally (only the changed row)."""
         eps, nu = self.eps, self.nu
         X = state["input"]
         W = state["demix_filter"]
@@ -638,59 +789,70 @@ class TIPSDTA(GaussIPSDTA):
         XX = Xb[..., :, None] * Xb[..., None, :].conj()  # (T, nb, B, C, C)
         mask_offdiag = 1 - jnp.eye(B)
 
+        # sweep-invariant source spectra
+        inv_R_all, inv_R_diag_all = [], []
         for n in range(n_sources):
-            U_n = U[n]
-            V_n = V[n]
-            R_n = jnp.einsum("kbij,kt->tbij", U_n, V_n.astype(U_n.dtype))
-            R_n = to_psd(layout.pad_identity(R_n), eps=eps)
-            inv_R_n = to_psd(jnp.linalg.inv(R_n), eps=eps)  # (T, nb, B, B)
-            inv_R_diag = jnp.diagonal(inv_R_n, axis1=-2, axis2=-1).real
+            R_n = jnp.einsum("kbij,kt->tbij", U[n], V[n].astype(U.dtype))
+            R_n_psd, _ = _psd_parts(layout.pad_identity(R_n), eps=eps)
+            inv_R_n = _psd_inv(R_n_psd, eps=eps, psd=True)  # (T, nb, B, B)
+            inv_R_all.append(inv_R_n)
+            inv_R_diag_all.append(
+                jnp.diagonal(inv_R_n, axis1=-2, axis2=-1).real
+            )
 
-            for j in range(B):
-                w_n = Wb[:, :, n, :].conj()  # (nb, B', C)
-                Xw_n = jnp.einsum("tbic,bic->bit", Xb.conj(), w_n)  # (nb, B', T)
+        for _ in range(n_spatial):
+            for n in range(n_sources):
+                inv_R_n = inv_R_all[n]
+                inv_R_diag = inv_R_diag_all[n]
+                Xw_n = jnp.einsum(
+                    "tbic,bic->bit", Xb.conj(), Wb[:, :, n, :].conj()
+                )  # (nb, B', T)
 
-                # posterior weight from the CURRENT rows
-                y_n = Xw_n.conj()  # (nb, B', T)
-                z = jnp.einsum("tbij,bjt->bit", inv_R_n, y_n)
-                yRy = jnp.einsum("bit,bit->t", y_n.conj(), z).real
-                pi_n = (nu + 2 * n_bins) / (nu + 2 * yRy)  # (T,)
+                for j in range(B):
+                    # posterior weight from the CURRENT rows
+                    y_n = Xw_n.conj()  # (nb, B', T)
+                    z = jnp.einsum("tbij,bjt->bit", inv_R_n, y_n)
+                    yRy = jnp.einsum("bit,bit->t", y_n.conj(), z).real
+                    pi_n = (nu + 2 * n_bins) / (nu + 2 * yRy)  # (T,)
 
-                Q = jnp.einsum(
-                    "t,tb,tbcd->bcd", pi_n, inv_R_diag[:, :, j], XX[:, :, j]
-                ) / n_frames
-                Q = to_psd(Q, eps=eps)
+                    Q = jnp.einsum(
+                        "t,tb,tbcd->bcd", pi_n, inv_R_diag[:, :, j], XX[:, :, j]
+                    ) / n_frames
+                    Q = to_psd(Q, eps=eps)
 
-                RXXw = jnp.einsum(
-                    "t,tbi,tbc,bit->bic",
-                    pi_n.astype(Xb.real.dtype),
-                    inv_R_n[:, :, :, j],
-                    Xb[:, :, j, :],
-                    Xw_n,
-                ) / n_frames
-                gamma = jnp.einsum(
-                    "i,bic->bc", mask_offdiag[j].astype(RXXw.real.dtype), RXXw
-                )
+                    RXXw = jnp.einsum(
+                        "t,tbi,tbc,bit->bic",
+                        pi_n.astype(Xb.real.dtype),
+                        inv_R_n[:, :, :, j],
+                        Xb[:, :, j, :],
+                        Xw_n,
+                    ) / n_frames
+                    gamma = jnp.einsum(
+                        "i,bic->bc", mask_offdiag[j].astype(RXXw.real.dtype), RXXw
+                    )
 
-                WQ = Wb[:, j] @ Q
-                e_n = jnp.broadcast_to(eyeNC[n], (layout.n_blocks, n_channels))
-                zeta = jnp.linalg.solve(WQ, e_n[..., None])[..., 0]
-                zeta_hat = jnp.linalg.solve(Q, gamma[..., None])[..., 0]
-                eta = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta).real
-                eta_hat = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta_hat)
+                    WQ = Wb[:, j] @ Q
+                    zeta = batched_inv(WQ)[..., :, n]  # solve(WQ, e_n)
+                    zeta_hat = jnp.einsum("bcd,bd->bc", batched_inv(Q), gamma)
+                    eta = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta).real
+                    eta_hat = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta_hat)
 
-                eta = floor_below(eta, eps)
-                small = jnp.abs(eta_hat) < eps
-                eta_hat_f = jnp.where(small, eps, eta_hat)
-                weight = (eta_hat_f / (2 * eta)) * (
-                    1 - jnp.sqrt(1 + 4 * eta / (jnp.abs(eta_hat_f) ** 2))
-                )
-                weight = jnp.where(small, 1 / jnp.sqrt(eta), weight)
-                w_new = weight[:, None] * zeta - zeta_hat
-                valid_j = layout.valid[:, j][:, None]
-                Wb = Wb.at[:, j, n, :].set(
-                    jnp.where(valid_j, w_new.conj(), Wb[:, j, n, :])
-                )
+                    eta = floor_below(eta, eps)
+                    small = jnp.abs(eta_hat) < eps
+                    eta_hat_f = jnp.where(small, eps, eta_hat)
+                    weight = (eta_hat_f / (2 * eta)) * (
+                        1 - jnp.sqrt(1 + 4 * eta / (jnp.abs(eta_hat_f) ** 2))
+                    )
+                    weight = jnp.where(small, 1 / jnp.sqrt(eta), weight)
+                    w_new = weight[:, None] * zeta - zeta_hat
+                    valid_j = layout.valid[:, j][:, None]
+                    w_row = jnp.where(valid_j, w_new.conj(), Wb[:, j, n, :])
+                    Wb = Wb.at[:, j, n, :].set(w_row)
+                    Xw_n = Xw_n.at[:, j].set(
+                        jnp.einsum(
+                            "tbc,bc->bt", Xb[:, :, j, :].conj(), w_row.conj()
+                        )
+                    )
 
         W_new = layout.scatter(jnp.transpose(Wb, (2, 3, 0, 1)))
         W_new = jnp.transpose(W_new, (2, 0, 1))
@@ -708,16 +870,15 @@ class TIPSDTA(GaussIPSDTA):
         X, W = state["input"], state["demix_filter"]
         n_bins = X.shape[1]
         n_frames = X.shape[-1]
-        Y = self.separate(X, W)
+        Y = state["estimation"]  # == separate(X, W) (update invariant)
         y = self._y_blocks(Y, layout)
         U = self._U_kmajor(state)
         V = state["activation"]
-        R = self._R_blocks(U, V, layout)
-        inv_R = to_psd(jnp.linalg.inv(R), eps=eps)
+        R, wR = self._R_blocks_parts(U, V, layout)
+        inv_R = _psd_inv(R, eps=eps, psd=True)
         z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
         yRy = jnp.einsum("stbi,stbi->st", y.conj(), z).real
-        eigvals = jnp.maximum(jnp.linalg.eigvalsh(R), eps)
-        logdet_R = jnp.log(eigvals).sum(axis=(-2, -1))
+        logdet_R = jnp.log(jnp.maximum(wR, eps)).sum(axis=(-2, -1))
         logdet_W = batched_log_abs_det(W)
         nu = self.nu
         return (

@@ -79,6 +79,58 @@ def batched_inv(A):
     return jnp.linalg.inv(A)
 
 
+def hermitian_eigvalsh_2x2(A):
+    a = A[..., 0, 0].real
+    d = A[..., 1, 1].real
+    b = A[..., 0, 1]
+    mean = (a + d) / 2
+    rad = jnp.sqrt(((a - d) / 2) ** 2 + jnp.abs(b) ** 2)
+    return jnp.stack([mean - rad, mean + rad], axis=-1)
+
+
+def hermitian_eigvalsh_3x3(A):
+    """Closed-form (Cardano) eigenvalues of batched Hermitian 3×3 matrices,
+    ascending — the standard trigonometric solution for the (real)
+    characteristic cubic.  Exact-diagonal matrices (p₂ = 0) short-circuit to
+    the mean eigenvalue."""
+    q = jnp.trace(A, axis1=-2, axis2=-1).real / 3
+    p1 = (
+        jnp.abs(A[..., 0, 1]) ** 2
+        + jnp.abs(A[..., 0, 2]) ** 2
+        + jnp.abs(A[..., 1, 2]) ** 2
+    )
+    d0 = A[..., 0, 0].real - q
+    d1 = A[..., 1, 1].real - q
+    d2 = A[..., 2, 2].real - q
+    p2 = d0**2 + d1**2 + d2**2 + 2 * p1
+    degenerate = p2 <= 0
+    p = jnp.sqrt(jnp.where(degenerate, 1.0, p2) / 6)
+    eye = jnp.eye(3, dtype=A.dtype)
+    Bm = (A - q[..., None, None] * eye) / p[..., None, None]
+    r = jnp.clip(det_3x3(Bm).real / 2, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3
+    two_pi_3 = 2 * jnp.pi / 3
+    e_hi = q + 2 * p * jnp.cos(phi)
+    e_lo = q + 2 * p * jnp.cos(phi + two_pi_3)
+    e_mid = 3 * q - e_hi - e_lo
+    eigs = jnp.stack([e_lo, e_mid, e_hi], axis=-1)
+    return jnp.where(degenerate[..., None], q[..., None], eigs)
+
+
+def batched_eigvalsh(A):
+    """Eigenvalues of batched Hermitian matrices, ascending; closed forms for
+    n ≤ 3 (pure VPU work — no iterative eigensolver), ``jnp.linalg.eigvalsh``
+    fallback otherwise."""
+    n = A.shape[-1]
+    if n == 1:
+        return A[..., 0].real
+    if n == 2:
+        return hermitian_eigvalsh_2x2(A)
+    if n == 3:
+        return hermitian_eigvalsh_3x3(A)
+    return jnp.linalg.eigvalsh(A)
+
+
 def batched_log_abs_det(A):
     """``log |det A|`` for batched matrices, closed form for n ≤ 3."""
     n = A.shape[-1]

@@ -25,15 +25,19 @@ def to_psd(X, eps=EPS):
     add an ``eps * trace`` identity ridge — same semantics as the reference's
     ``utils/utils_linalg.py:9-31`` (a hot helper in MNMF/IPSDTA/PSDTF).
 
-    Uses ``eigvalsh`` (TPU-supported) batched over leading axes.
+    Eigenvalues come from the closed forms in ``ops/fast_linalg`` for n ≤ 3
+    (the C×C / block-size cases — no iterative eigensolver on TPU),
+    ``eigvalsh`` otherwise.
     """
+    from ..ops.fast_linalg import batched_eigvalsh
+
     n = X.shape[-1]
     if jnp.iscomplexobj(X):
         X = (X + jnp.swapaxes(X, -2, -1).conj()) / 2
     else:
         X = (X + jnp.swapaxes(X, -2, -1)) / 2
 
-    eigvals = jnp.linalg.eigvalsh(X)
+    eigvals = batched_eigvalsh(X)
     delta = jnp.minimum(jnp.min(eigvals, axis=-1), 0)
     trace = jnp.trace(X, axis1=-2, axis2=-1).real
     eye = jnp.eye(n, dtype=X.dtype)

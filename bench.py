@@ -7,13 +7,29 @@ The workload matches the reference's canonical config (BASELINE.md): 2-channel
 mixture, fft 4096 (2049 bins), ~60 s at 16 kHz (469 frames).  The baseline is
 a faithful NumPy implementation of the same AuxIVA-IP update math the
 reference runs (weighted covariance via materialized outer products + per-bin
-cond/solve, ``/root/reference/src/bss/iva.py:481-523``), timed on this host.
+cond/solve, ``/root/reference/src/bss/iva.py:481-523``), timed on this host
+and cached in ``.bench_baseline.json`` (~1 min to measure; delete the file to
+re-measure).
+
+NOTE on the two published numbers: this headline times the RAW jitted
+iteration (scan of the component-layout update, loss recording off, best of
+several timing windows — min-time methodology for the shared TPU tunnel).
+``benchmarks/RESULTS.md`` times the full ``IterativeSolver`` runtime instead
+(init + state packing + the same scan via ``benchmark_solver``, averaged not
+best-of) and is therefore ~1.3-1.6× lower for the same nominal config.  Both
+are real; the headline is the kernel speed, RESULTS.md is the user-facing
+solver speed.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+_BASELINE_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json"
+)
 
 N_CHANNELS = 2
 N_BINS = 2049
@@ -58,14 +74,32 @@ def numpy_auxiva_ip(X, n_iter):
     return W
 
 
-def bench_numpy(X):
+def bench_numpy(X, use_cache=True):
+    """NumPy-reference iterations/sec, cached on disk (the measurement costs
+    ~1 min per run and the baseline is a property of the host, not the build)."""
+    key = "numpy_auxiva_ip_2ch_fft4096"
+    if use_cache and os.path.exists(_BASELINE_CACHE):
+        try:
+            with open(_BASELINE_CACHE) as f:
+                cached = json.load(f)
+            if key in cached:
+                return cached[key]
+        except (ValueError, OSError):
+            pass
     # time a few iterations, extrapolate
     n_iter = 3
     numpy_auxiva_ip(X, 1)  # warm caches
     start = time.perf_counter()
     numpy_auxiva_ip(X, n_iter)
     elapsed = time.perf_counter() - start
-    return n_iter / elapsed
+    ips = n_iter / elapsed
+    if use_cache:
+        try:
+            with open(_BASELINE_CACHE, "w") as f:
+                json.dump({key: ips}, f)
+        except OSError:
+            pass
+    return ips
 
 
 # --------------------------------------------------------------------------- #
