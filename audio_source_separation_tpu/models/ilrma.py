@@ -134,6 +134,12 @@ class ILRMABase(IVABase):
             state["step_count"] = jnp.zeros((), dtype=jnp.int32)
         return state
 
+    def field_axes(self):
+        axes = dict(super().field_axes())
+        axes["basis"] = {"bins": 0 if self.partitioning else 1}
+        axes["activation"] = {"frames": -1}
+        return axes
+
     def source_variance(self, state):
         """``R (n_sources, n_bins, n_frames)`` from the NMF source model."""
         domain = getattr(self, "domain", 2)

@@ -32,6 +32,7 @@ the math is the same):
     with the reference's clip-at-zero + ``to_PSD`` guard chain.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -458,7 +459,7 @@ class GaussIPSDTA(IPSDTABase):
             inv_R_all.append(inv_R_n)
             Q_all.append(to_psd(Q_n, eps=eps))
 
-        for _ in range(n_spatial):
+        def sweep(_, Wb):
             for n in range(n_sources):
                 inv_R_n, Q_n = inv_R_all[n], Q_all[n]
                 # demixed projections of source n, updated row-wise below
@@ -503,6 +504,11 @@ class GaussIPSDTA(IPSDTABase):
                     Xw_n = Xw_n.at[:, j].set(
                         jnp.einsum("tbc,bc->bt", Xb[:, :, j, :].conj(), w_row.conj())
                     )
+            return Wb
+
+        # identical sweeps roll into one compiled body (Kondo's default is
+        # 10 sweeps/iteration; unrolling them 10x explodes the program)
+        Wb = jax.lax.fori_loop(0, n_spatial, sweep, Wb)
 
         # scatter back to (F, N, C)
         W_new = layout.scatter(jnp.transpose(Wb, (2, 3, 0, 1)))  # (N, C, F)
@@ -800,7 +806,7 @@ class TIPSDTA(GaussIPSDTA):
                 jnp.diagonal(inv_R_n, axis1=-2, axis2=-1).real
             )
 
-        for _ in range(n_spatial):
+        def sweep(_, Wb):
             for n in range(n_sources):
                 inv_R_n = inv_R_all[n]
                 inv_R_diag = inv_R_diag_all[n]
@@ -815,15 +821,20 @@ class TIPSDTA(GaussIPSDTA):
                     yRy = jnp.einsum("bit,bit->t", y_n.conj(), z).real
                     pi_n = (nu + 2 * n_bins) / (nu + 2 * yRy)  # (T,)
 
+                    # NOTE: fold π into the other real factor BEFORE the
+                    # einsum — the 3-operand form "t,tb,tbcd->bcd" SIGABRTs
+                    # the TPU compiler (bisected; XLA bug workaround)
                     Q = jnp.einsum(
-                        "t,tb,tbcd->bcd", pi_n, inv_R_diag[:, :, j], XX[:, :, j]
+                        "tb,tbcd->bcd",
+                        pi_n[:, None] * inv_R_diag[:, :, j],
+                        XX[:, :, j],
                     ) / n_frames
                     Q = to_psd(Q, eps=eps)
 
                     RXXw = jnp.einsum(
-                        "t,tbi,tbc,bit->bic",
-                        pi_n.astype(Xb.real.dtype),
-                        inv_R_n[:, :, :, j],
+                        "tbi,tbc,bit->bic",
+                        pi_n[:, None, None].astype(Xb.dtype)
+                        * inv_R_n[:, :, :, j],
                         Xb[:, :, j, :],
                         Xw_n,
                     ) / n_frames
@@ -853,6 +864,9 @@ class TIPSDTA(GaussIPSDTA):
                             "tbc,bc->bt", Xb[:, :, j, :].conj(), w_row.conj()
                         )
                     )
+            return Wb
+
+        Wb = jax.lax.fori_loop(0, n_spatial, sweep, Wb)
 
         W_new = layout.scatter(jnp.transpose(Wb, (2, 3, 0, 1)))
         W_new = jnp.transpose(W_new, (2, 0, 1))

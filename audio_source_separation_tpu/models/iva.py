@@ -103,12 +103,24 @@ class IVABase(IterativeSolver):
     def _is_iss_like(self):
         return getattr(self, "algorithm_spatial", None) == "ISS"
 
+    def field_axes(self):
+        """Shardable axes of the IVA-family state (see
+        :meth:`IterativeSolver.use_mesh`)."""
+        return {
+            "input": {"bins": 1, "frames": 2},
+            "demix_filter": {"bins": 0},
+            "estimation": {"bins": 1, "frames": 2},
+            "pair_products": {"bins": 1, "frames": 2},
+        }
+
     def _weighted_covariance(self, state, inv_weights):
         planes = state.get("pair_products")
         if planes is not None:
             from ..ops.ip_components import weighted_covariance_planes_array
 
-            return weighted_covariance_planes_array(planes, inv_weights)
+            return weighted_covariance_planes_array(
+                planes, inv_weights, flatten=self._covariance_flatten()
+            )
         return weighted_covariance(state["input"], inv_weights)
 
     def _ip_sweep(self, state, inv_weights):
@@ -125,7 +137,12 @@ class IVABase(IterativeSolver):
             from ..ops.ip_components import ip_sweep_from_planes
 
             return ip_sweep_from_planes(
-                W, planes, inv_weights, threshold=self.threshold, guard=self.guard
+                W,
+                planes,
+                inv_weights,
+                threshold=self.threshold,
+                guard=self.guard,
+                flatten=self._covariance_flatten(),
             )
         U = self._weighted_covariance(state, inv_weights)
         return ip_update(W, U, threshold=self.threshold, guard=self.guard)

@@ -110,6 +110,26 @@ class MultichannelISNMF(MultichannelNMFBase):
             self.reference_id = reference_id
             warnings.warn("in progress", UserWarning)
 
+    def field_axes(self):
+        """Shardable axes (see :meth:`IterativeSolver.use_mesh`): everything
+        in MNMF is per-bin batched; activations shard over frames."""
+        common = {"input": {"bins": 1, "frames": 2}}
+        if self.author.lower() == "sawada":
+            return dict(
+                common,
+                covariance_input={"bins": 0, "frames": 1},
+                spatial={"bins": 0},
+                basis={"bins": 0},
+                activation={"frames": -1},
+            )
+        return dict(
+            common,
+            mix_filter={"bins": 0},
+            noise_covariance={"bins": 0},
+            basis={"bins": 1},
+            activation={"frames": -1},
+        )
+
     # ------------------------------------------------------------------ #
     # init
     # ------------------------------------------------------------------ #
@@ -447,6 +467,20 @@ class FastMultichannelISNMF(MultichannelNMFBase):
         self.reference_id = reference_id
         self.threshold = threshold
         self.guard = guard
+
+    def field_axes(self):
+        """Shardable axes of the FastMNMF state (see
+        :meth:`IterativeSolver.use_mesh`) — everything is per-bin except the
+        activations (shared over bins, shardable over frames)."""
+        return {
+            "input": {"bins": 1, "frames": 2},
+            "diagonalizer": {"bins": 0},
+            "spatial_covariance": {"bins": 1},
+            "basis": {"bins": 1},
+            "activation": {"frames": -1},
+            "pair_products": {"bins": 1, "frames": 2},
+            "qx_power": {"bins": 1, "frames": 2},
+        }
 
     def prepare_state_kwargs(self, input, state_kwargs):
         n_channels, n_bins, n_frames = input.shape

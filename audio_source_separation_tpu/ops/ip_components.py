@@ -52,19 +52,26 @@ def pair_products_planes(X):
     return jnp.stack(planes)  # (C², F, T)
 
 
-def _covariance_planes(planes, weights):
+def _covariance_planes(planes, weights, flatten=True):
     """Real contraction over frames → ``(P, F, N)`` with P = C² compact planes.
 
     2-D weights ``(N, T)``: one ``(P·F, T) × (T, N)`` GEMM;
     3-D weights ``(N, F, T)`` (ILRMA-style per-bin variances): a bin-batched
     GEMM via einsum.
+
+    ``flatten=False`` keeps the (planes, bins) axes separate — required under
+    a bins-sharded mesh, where merging the sharded bin axis into a flat GEMM
+    dimension would defeat GSPMD propagation (forcing an all-gather); the
+    einsum contracts over frames locally per bin shard.
     """
     P, F, T = planes.shape
     w = weights.astype(planes.dtype)
     if w.ndim == 2:
-        flat = planes.reshape(P * F, T)
-        out = flat @ jnp.transpose(w) / T  # (P·F, N)
-        return out.reshape(P, F, -1)
+        if flatten:
+            flat = planes.reshape(P * F, T)
+            out = flat @ jnp.transpose(w) / T  # (P·F, N)
+            return out.reshape(P, F, -1)
+        return jnp.einsum("pft,nt->pfn", planes, w) / T
     return jnp.einsum("pft,nft->pfn", planes, w) / T
 
 
@@ -82,7 +89,7 @@ def _assemble_entry(out, index, c, d, n):
     return re - 1j * im
 
 
-def weighted_covariance_components(planes, weights):
+def weighted_covariance_components(planes, weights, flatten=True):
     """``U[n][c][d] (F,) = (1/T) Σ_t w[n, (f,) t]·(x_c x_d^*)(f, t)``.
 
     Returns a nested list ``U[n][c][d]`` of complex ``(F,)``.
@@ -91,7 +98,7 @@ def weighted_covariance_components(planes, weights):
     C = int(round(P**0.5))
     index, _ = _plane_index(C)
     n_sources = weights.shape[0]
-    out = _covariance_planes(planes, weights)
+    out = _covariance_planes(planes, weights, flatten=flatten)
     return [
         [
             [_assemble_entry(out, index, c, d, n) for d in range(C)]
@@ -101,14 +108,14 @@ def weighted_covariance_components(planes, weights):
     ]
 
 
-def weighted_covariance_planes_array(planes, weights):
+def weighted_covariance_planes_array(planes, weights, flatten=True):
     """Array-output variant: ``U (N, F, C, C)`` complex (for matrix-layout
     consumers like the IP2 pairwise math)."""
     P = planes.shape[0]
     C = int(round(P**0.5))
     index, _ = _plane_index(C)
     n_sources = weights.shape[0]
-    out = _covariance_planes(planes, weights)
+    out = _covariance_planes(planes, weights, flatten=flatten)
     rows = [
         [
             jnp.stack(
@@ -123,7 +130,9 @@ def weighted_covariance_planes_array(planes, weights):
     )  # (N, F, C, C)
 
 
-def ip_sweep_from_planes(W, planes, inv_weights, threshold=1e12, guard="one_norm"):
+def ip_sweep_from_planes(
+    W, planes, inv_weights, threshold=1e12, guard="one_norm", flatten=True
+):
     """Fused covariance + IP sweep fully in component land.
 
     Args:
@@ -134,7 +143,7 @@ def ip_sweep_from_planes(W, planes, inv_weights, threshold=1e12, guard="one_norm
         updated ``W (F, N, C)``.
     """
     n_sources, n_channels = W.shape[1], W.shape[2]
-    U = weighted_covariance_components(planes, inv_weights)
+    U = weighted_covariance_components(planes, inv_weights, flatten=flatten)
     W_rows = [[W[:, s, c] for c in range(n_channels)] for s in range(n_sources)]
     W_rows = ip_update_components(W_rows, U, threshold=threshold, guard=guard)
     return jnp.stack([jnp.stack(row, axis=-1) for row in W_rows], axis=1)

@@ -21,7 +21,22 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops.packing import pack, to_host, unpack
 
 
-def batch_separate(solver, inputs, iteration=100, mesh=None, state_kwargs=None):
+def _batched_spec(mesh, field, ndim, field_axes, tp_name="tp"):
+    """``P('dp', …, 'tp', …)`` for a batched state field: 'dp' on the leading
+    batch axis, 'tp' on the solver-declared bin axis (shifted by the batch
+    axis), replicated otherwise."""
+    axes = field_axes.get(field)
+    idx = None if axes is None else axes.get("bins")
+    spec = [None] * ndim
+    spec[0] = "dp"
+    if idx is not None and tp_name is not None and ndim > 1:
+        spec[1 + (idx % (ndim - 1))] = tp_name
+    return P(*spec)
+
+
+def batch_separate(
+    solver, inputs, iteration=100, mesh=None, state_kwargs=None, host=True
+):
     """Separate a batch of mixtures with one compiled scan.
 
     Args:
@@ -29,12 +44,18 @@ def batch_separate(solver, inputs, iteration=100, mesh=None, state_kwargs=None):
         inputs: ``(batch, n_channels, n_bins, n_frames)`` complex (host).
         iteration: number of update steps.
         mesh: optional ``jax.sharding.Mesh`` with axes ``('dp', 'tp')`` — the
-            batch axis shards over ``dp`` and the bin axis over ``tp``.
+            batch axis shards over ``dp`` and the bin axis over ``tp``, with
+            EXPLICIT in/out shardings on the inputs, warm-start state and
+            outputs (the result stays distributed; GSPMD cannot silently
+            gather it).
         state_kwargs: optional dict of warm-start arrays, each with a leading
             batch axis.
+        host: fetch results to host NumPy (default); ``host=False`` returns
+            the device arrays (outputs still packed as a ``Pair``) so callers
+            can keep the pipeline on-device / inspect shardings.
     Returns:
         ``(outputs (batch, n_sources, n_bins, n_frames), losses (batch, iteration))``
-        — host NumPy; losses is None when ``solver.recordable_loss`` is False.
+        — losses is None when ``solver.recordable_loss`` is False.
     """
     inputs = np.asarray(inputs)
     batch = inputs.shape[0]
@@ -74,14 +95,40 @@ def batch_separate(solver, inputs, iteration=100, mesh=None, state_kwargs=None):
         return pack(outputs), losses
 
     if mesh is not None:
+        tp = "tp" if "tp" in mesh.axis_names else None
+        field_axes = solver.field_axes()
         x_sharding = jax.tree.map(
-            lambda _: NamedSharding(mesh, P("dp", None, "tp", None)), Xp
+            lambda leaf: NamedSharding(
+                mesh, _batched_spec(mesh, "input", leaf.ndim, field_axes, tp)
+            ),
+            Xp,
         )
-        Xp = jax.device_put(Xp, x_sharding)
-        run = jax.jit(batched_run)
+        kw_sharding = {
+            k: jax.tree.map(
+                lambda leaf: NamedSharding(
+                    mesh, _batched_spec(mesh, k, leaf.ndim, field_axes, tp)
+                ),
+                v,
+            )
+            for k, v in kwargs_p.items()
+        }
+        out_sharding = jax.tree.map(
+            lambda leaf: NamedSharding(
+                mesh, _batched_spec(mesh, "estimation", leaf.ndim, field_axes, tp)
+            ),
+            Xp,
+        )
+        losses_sharding = NamedSharding(mesh, P("dp"))
+        run = jax.jit(
+            batched_run,
+            in_shardings=(x_sharding, kw_sharding),
+            out_shardings=(out_sharding, losses_sharding),
+        )
     else:
         run = jax.jit(batched_run)
 
     outputs_p, losses = run(Xp, kwargs_p)
+    if not host:
+        return outputs_p, (losses if record else None)
     outputs = to_host(outputs_p)
     return outputs, (np.asarray(jax.device_get(losses)) if record else None)

@@ -10,9 +10,14 @@ TPU-native parallel layer: a batched AuxIVA/ILRMA update jitted over a 2-D
     reduction ``R = f(Σ_bins |Y|²)`` — XLA turns it into a single all-reduce
     over the ``tp`` axis riding the ICI; everything else is collective-free.
 
-Frame-axis (sequence-parallel analogue) sharding is equally legal — the
-covariance accumulation becomes a ``psum`` over frame shards — and can be
-enabled by sharding the trailing axis instead.
+Frame-axis (sequence-parallel analogue) sharding — the covariance
+accumulation becomes a ``psum`` over frame shards — and the general
+mesh-aware path for EVERY scan-mode solver live in the solver runtime:
+``solver.use_mesh(mesh, mode='bins'|'frames')``
+(:meth:`audio_source_separation_tpu.runtime.solver.IterativeSolver.use_mesh`,
+equivalence-tested at canonical shapes in ``tests/test_mesh_runtime.py``).
+This module keeps the hand-written batched AuxIVA-IP step used by the
+driver's dry run and the DP throughput bench.
 """
 
 import jax

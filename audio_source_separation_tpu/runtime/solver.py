@@ -69,6 +69,85 @@ class IterativeSolver:
         self.recordable_loss = recordable_loss
         self.loss = [] if recordable_loss else None
         self._jit_cache = {}
+        self._mesh = None
+        self._shard_mode = "bins"
+        self._shard_axis_name = None
+
+    # ------------------------------------------------------------------ #
+    # multi-chip execution (mesh-aware runtime)
+    # ------------------------------------------------------------------ #
+    def field_axes(self):
+        """Per-state-field shardable axes:
+        ``{field: {"bins": axis_index, "frames": axis_index}}`` (either key
+        may be absent → the field is replicated in that mode).  Subclasses
+        override; unknown fields replicate.  Negative indices allowed."""
+        return {}
+
+    def use_mesh(self, mesh, mode="bins", axis_name=None):
+        """Run every jitted stage (init / scan / nll / finalize) under
+        ``mesh`` with explicit in/out shardings on the whole state pytree.
+
+        ``mode='bins'`` shards the frequency-bin axis (tensor parallel: every
+        per-bin C×C update is independent; the only collectives are the
+        cross-bin weight/NLL reductions, which GSPMD lowers to all-reduces
+        over ICI).  ``mode='frames'`` shards the frame axis (the
+        sequence-parallel analogue, SURVEY §2.6: covariance accumulations
+        ``Σ_t`` become psum over frame shards).  ``mesh=None`` resets to
+        single-device execution.
+
+        The sharded axis length must be divisible by the mesh axis size (XLA
+        shards evenly): pick a mesh that divides the bin/frame count
+        (F = 2049 = 3·683 shards over 3 devices; T = 469 = 7·67 over 7) or
+        size the STFT so a power-of-two mesh divides it.  Indivisible
+        combinations raise with a clear message at ``__call__`` time.
+        """
+        if mode not in ("bins", "frames"):
+            raise ValueError("mode must be 'bins' or 'frames', got {!r}".format(mode))
+        self._mesh = mesh
+        self._shard_mode = mode
+        if mesh is not None and axis_name is None:
+            axis_name = "tp" if "tp" in mesh.axis_names else mesh.axis_names[-1]
+        self._shard_axis_name = axis_name
+        self._jit_cache = {}  # shardings are part of the compiled signature
+        return self
+
+    def _covariance_flatten(self):
+        """Whether the pair-product covariance may merge (planes, bins) into
+        one GEMM dimension — merging a sharded bin axis into a flat dim
+        defeats GSPMD propagation (forces an all-gather), so the bins-sharded
+        path keeps the axes separate (see ops/ip_components.py)."""
+        return not (
+            getattr(self, "_mesh", None) is not None
+            and self._shard_mode == "bins"
+        )
+
+    def _leaf_spec(self, field, ndim):
+        from jax.sharding import PartitionSpec
+
+        axes = self.field_axes().get(field)
+        idx = None if axes is None else axes.get(self._shard_mode)
+        if idx is None or ndim == 0:
+            return PartitionSpec()
+        idx = idx % ndim
+        return PartitionSpec(*([None] * idx + [self._shard_axis_name]))
+
+    def _sharding_tree(self, packed_tree):
+        """``NamedSharding`` tree matching a packed pytree (dict of arrays /
+        Pair nodes / ShapeDtypeStructs) keyed by state-field names."""
+        from jax.sharding import NamedSharding
+
+        mesh = self._mesh
+        return {
+            k: jax.tree.map(
+                lambda leaf: NamedSharding(mesh, self._leaf_spec(k, leaf.ndim)), v
+            )
+            for k, v in packed_tree.items()
+        }
+
+    def _replicated(self):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self._mesh, PartitionSpec())
 
     # ------------------------------------------------------------------ #
     # functional API — override in subclasses
@@ -101,9 +180,14 @@ class IterativeSolver:
     # ------------------------------------------------------------------ #
     # runtime
     # ------------------------------------------------------------------ #
-    def _get_jit(self, name, fn_factory):
+    def _get_jit(self, name, fn_factory, in_shardings=None, out_shardings=None):
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn_factory())
+            kwargs = {}
+            if in_shardings is not None:
+                kwargs["in_shardings"] = in_shardings
+            if out_shardings is not None:
+                kwargs["out_shardings"] = out_shardings
+            self._jit_cache[name] = jax.jit(fn_factory(), **kwargs)
         return self._jit_cache[name]
 
     def _init_fn(self):
@@ -176,19 +260,60 @@ class IterativeSolver:
         kwargs_p = pack(
             {k: np.asarray(v) for k, v in state_kwargs.items() if v is not None}
         )
-        init = self._get_jit("init:" + ",".join(sorted(kwargs_p)), self._init_fn)
+
+        # mesh-aware runtime: every jit stage carries explicit in/out
+        # shardings on the state pytree (see use_mesh)
+        mesh = getattr(self, "_mesh", None)
+        state_sh = scalar_sh = None
+        if mesh is not None:
+            axis_size = mesh.shape[self._shard_axis_name]
+            length = input.shape[1 if self._shard_mode == "bins" else 2]
+            if length % axis_size != 0:
+                raise ValueError(
+                    "use_mesh(mode={!r}): axis length {} is not divisible by "
+                    "the {}-way mesh axis {!r}; choose a mesh that divides it "
+                    "(or size the STFT so one does)".format(
+                        self._shard_mode, length, axis_size, self._shard_axis_name
+                    )
+                )
+            state_shapes = jax.eval_shape(self._init_fn(), Xp, kwargs_p)
+            state_sh = self._sharding_tree(state_shapes)
+            x_sh = self._sharding_tree({"input": Xp})["input"]
+            kw_sh = self._sharding_tree(kwargs_p)
+            scalar_sh = self._replicated()
+        self._state_sh = state_sh
+
+        init = self._get_jit(
+            "init:" + ",".join(sorted(kwargs_p)),
+            self._init_fn,
+            in_shardings=None if mesh is None else (x_sh, kw_sh),
+            out_shardings=state_sh,
+        )
         state = init(Xp, kwargs_p)
         self._sync_attributes(state)
 
         if self.recordable_loss and self.record_initial_loss:
-            nll_fn = self._get_jit("nll", self._nll_fn)
+            nll_fn = self._get_jit(
+                "nll",
+                self._nll_fn,
+                in_shardings=None if mesh is None else (state_sh,),
+            )
             self.loss.append(float(nll_fn(state)))
 
         if self.callbacks is not None:
             if self.callback_on_init:
                 self._on_callback(state)
-            step = self._get_jit("step", self._step_fn)
-            nll_fn = self._get_jit("nll", self._nll_fn)
+            step = self._get_jit(
+                "step",
+                self._step_fn,
+                in_shardings=None if mesh is None else (state_sh,),
+                out_shardings=state_sh,
+            )
+            nll_fn = self._get_jit(
+                "nll",
+                self._nll_fn,
+                in_shardings=None if mesh is None else (state_sh,),
+            )
             for _ in range(iteration):
                 state = step(state)
                 if self.recordable_loss:
@@ -199,6 +324,8 @@ class IterativeSolver:
             run = self._get_jit(
                 "scan:{}:{}".format(iteration, self.recordable_loss),
                 lambda: self._scan_fn(iteration, self.recordable_loss),
+                in_shardings=None if mesh is None else (state_sh,),
+                out_shardings=None if mesh is None else (state_sh, scalar_sh),
             )
             state, losses = run(state)
             if self.recordable_loss:
@@ -212,7 +339,12 @@ class IterativeSolver:
     def _run_finalize(self, state):
         """Jitted finalize by default; solvers with host-side post-processing
         (e.g. FDICA permutation alignment) override this."""
-        finalize = self._get_jit("finalize", self._finalize_fn)
+        state_sh = getattr(self, "_state_sh", None)
+        finalize = self._get_jit(
+            "finalize",
+            self._finalize_fn,
+            in_shardings=None if state_sh is None else (state_sh,),
+        )
         return to_host(finalize(state))
 
     def _on_callback(self, state):

@@ -159,3 +159,48 @@ def test_iteration_timer(rng):
     timer = IterationTimer()
     AuxLaplaceIVA(callbacks=timer, recordable_loss=False)(X, iteration=3)
     assert len(timer.durations) == 3
+
+
+def test_mird_prepare_driver_synthetic_fallback(tmp_path):
+    """The D1 preparation driver (reference egs/bss-example/iva/local/
+    prepare.py:20-77): degree-grid x 8-mic MIRD convolution reproducing the
+    reference's file layout, on the synthetic geometry fallback (offline)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    try:
+        from prepare_mixture import prepare_mird
+    finally:
+        sys.path.pop(0)
+    from audio_source_separation_tpu.utils import read_wav
+
+    root = str(tmp_path / "data")
+    written = prepare_mird(
+        root, titles=("aew", "axb"), degrees=[0, 330], duration=0.1
+    )
+    assert len(written) == 2 * 2 * 8  # titles x degrees x mics
+    for title in ("aew", "axb"):
+        base = os.path.join(root, "cmu_us_{}_arctic/trimmed".format(title))
+        assert os.path.exists(os.path.join(base, "source-16000.wav"))
+        for deg in (0, 330):
+            for mic in range(8):
+                p = os.path.join(
+                    base, "convolved-16000_deg{}-mic{}.wav".format(deg, mic)
+                )
+                assert os.path.exists(p), p
+    x, sr = read_wav(written[0])
+    assert sr == 16000 and np.isfinite(x).all() and np.abs(x).max() > 0
+
+
+def test_mird_geometry_rirs_delays_follow_angle():
+    """Far-field geometry: at +90 deg the wavefront reaches the far mic last;
+    the per-mic direct-path delay ordering must follow the array axis."""
+    from audio_source_separation_tpu.utils.synthesis import mird_geometry_rirs
+
+    rir = mird_geometry_rirs(90, mic_intervals="8-8-8-8-8-8-8", samples=512)
+    assert rir.shape == (512, 8)
+    peaks = np.argmax(np.abs(rir), axis=0)
+    assert np.all(np.diff(peaks) >= 0) and peaks[-1] > peaks[0]
+
+    rir_neg = mird_geometry_rirs(270, mic_intervals="8-8-8-8-8-8-8", samples=512)
+    peaks_neg = np.argmax(np.abs(rir_neg), axis=0)
+    assert np.all(np.diff(peaks_neg) <= 0) and peaks_neg[0] > peaks_neg[-1]
