@@ -20,7 +20,18 @@ are the (tiny) per-(source, frame) weight sums and the log-det scalar:
 
 Per-iteration HBM traffic drops to ONE read of X (~15 MB) plus small
 (W components, (N, T) weight sums) — the bandwidth speed-of-light for this
-update.  Zero-padded bins are exact no-ops: their covariance is singular, so
+update.
+
+MEASURED OUTCOME (v5e, canonical 2×2049×469 config, sustained device time by
+scan-length differencing — see bench.py): this kernel runs at ~58 µs/iter;
+the XLA component-layout path (ops/ip_components.py) runs at ~25-40 µs/iter.
+XLA's own fusion already keeps Y out of HBM and reaches the traffic bound,
+and its pipelining beats this kernel's (the revisited (N, T) accumulator
+block serializes the grid).  The kernel is therefore NOT the default hot
+path — it is kept as the measured, parity-tested record of the experiment
+(round-1's "fuse everything into one Pallas program" hypothesis), and as the
+starting point if XLA's fusion ever regresses.  Zero-padded bins/frames are
+exact no-ops: a padded bin's covariance is singular, so
 the reference's condition guard (NaN κ₁ compares false) keeps the identity
 rows, their estimates are zero, and their log-det is zero — the same
 semantics the reference's guard gives real ill-conditioned bins.
@@ -198,7 +209,7 @@ def _iter_kernel(
 
 
 def fused_auxiva_ip_iter(
-    X4, Wc, winv, tile=128, threshold=1e12, interpret=False
+    X4, Wc, winv, tile=128, threshold=1e12, interpret=False, n_frames=None
 ):
     """One fused iteration.
 
@@ -212,7 +223,7 @@ def fused_auxiva_ip_iter(
     """
     _, F, T = X4.shape
     n_tiles = F // tile
-    n_frames = float(T)
+    n_frames = float(T if n_frames is None else n_frames)
 
     kernel = functools.partial(
         _iter_kernel, n_frames=n_frames, threshold=threshold
@@ -257,6 +268,20 @@ def pad_bins(X4, tile=128):
     return jnp.pad(X4, pad), F
 
 
+def pad_frames(X4, multiple=128):
+    """Zero-pad the frame axis to a lane-aligned multiple — unaligned rows
+    (e.g. T = 469 → 1876-byte transfers) collapse the HBM→VMEM DMA
+    bandwidth.  Zero frames are exact no-ops: their pair products are zero
+    (no covariance contribution; the true frame count normalizes separately)
+    and they add zero to the weight sums."""
+    T = X4.shape[-1]
+    T_pad = -(-T // multiple) * multiple
+    if T_pad == T:
+        return X4, T
+    pad = [(0, 0)] * (X4.ndim - 1) + [(0, T_pad - T)]
+    return jnp.pad(X4, pad), T
+
+
 def identity_w_planes(F):
     """W = I demixing rows as ``(8, F)`` planes."""
     Wc = jnp.zeros((8, F), dtype=jnp.float32)
@@ -264,24 +289,33 @@ def identity_w_planes(F):
 
 
 def fused_auxiva_ip_run(
-    X4, Wc0, iterations, eps=EPS, threshold=1e12, tile=128, interpret=False
+    X4,
+    Wc0,
+    iterations,
+    eps=EPS,
+    threshold=1e12,
+    tile=128,
+    interpret=False,
+    n_frames=None,
 ):
     """Scan the fused iteration; matches the semantics of
     ``ops/ip_components.auxiva_ip_step_components`` (same NLL definition).
 
     Args:
-        X4: ``(4, F_padded, T)`` planes (use :func:`pack_planes` +
-            :func:`pad_bins`).
+        X4: ``(4, F_padded, T_padded)`` planes (use :func:`pack_planes` +
+            :func:`pad_bins` + :func:`pad_frames`).
         Wc0: ``(8, F_padded)`` initial demixing planes.
+        n_frames: TRUE frame count when the frame axis is padded.
     Returns:
-        ``(Wc (8, F_padded), nlls (iterations,), psum (2, T))``.
+        ``(Wc (8, F_padded), nlls (iterations,), psum (2, T_padded))``.
     """
-    n_frames = X4.shape[-1]
+    if n_frames is None:
+        n_frames = X4.shape[-1]
 
     # initial weight sums from Y0 = W0 X (for W0 = I this is Σ_f |x_n|²)
     def y0_psum(X4, Wc):
         w = Wc.reshape(2, 2, 2, -1)  # (s, c, re/im, F)
-        x = X4.reshape(2, 2, X4.shape[1], n_frames)  # (c, re/im, F, T)
+        x = X4.reshape(2, 2, X4.shape[1], X4.shape[-1])  # (c, re/im, F, T)
         yre = jnp.einsum("scf,cft->sft", w[:, :, 0], x[:, 0]) - jnp.einsum(
             "scf,cft->sft", w[:, :, 1], x[:, 1]
         )
@@ -296,7 +330,13 @@ def fused_auxiva_ip_run(
         Wc, psum = carry
         winv = 1.0 / jnp.maximum(jnp.sqrt(psum), eps)
         Wc, psum, logdet = fused_auxiva_ip_iter(
-            X4, Wc, winv, tile=tile, threshold=threshold, interpret=interpret
+            X4,
+            Wc,
+            winv,
+            tile=tile,
+            threshold=threshold,
+            interpret=interpret,
+            n_frames=n_frames,
         )
         nll = 2.0 * jnp.sqrt(psum).sum() - 2.0 * n_frames * logdet
         return (Wc, psum), nll

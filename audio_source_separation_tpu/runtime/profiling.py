@@ -45,8 +45,16 @@ class IterationTimer:
         return np.diff(self.timestamps)
 
 
-def benchmark_solver(solver, X, iteration=30, warmup=True):
-    """Iterations/sec for a solver's jitted scan on the current backend.
+def benchmark_solver(solver, X, iteration=30, warmup=True, short=None):
+    """Sustained device iterations/sec for a solver's jitted scan.
+
+    One jitted call through the development TPU tunnel carries a fixed
+    ~7-9 ms dispatch round trip, which at 30-iteration scans dominates the
+    measurement.  This times TWO scan lengths (``short`` and ``iteration``)
+    and reports the differenced rate
+    ``(iteration − short) / (t_long − t_short)`` — the fixed dispatch cost
+    cancels, leaving the device's sustained per-iteration time (min-time over
+    several windows; ``jax.device_get`` as the only reliable barrier).
 
     Returns ``(iterations_per_sec, compile_seconds)``.
     """
@@ -55,28 +63,42 @@ def benchmark_solver(solver, X, iteration=30, warmup=True):
     X = np.asarray(X)
     solver.set_shape_metadata(X)
     kwargs = solver.prepare_state_kwargs(X, {})
-    Xp = pack(X)
-    kwargs_p = pack({k: np.asarray(v) for k, v in kwargs.items()})
+    Xp = jax.device_put(pack(X))
+    kwargs_p = jax.device_put(pack({k: np.asarray(v) for k, v in kwargs.items()}))
+    if short is None:
+        short = max(1, iteration // 10)
 
-    def run(Xp, kwargs_p):
-        state = solver.init_state(unpack(Xp), **unpack(kwargs_p))
+    def make(n_iter):
+        def run(Xp, kwargs_p):
+            state = solver.init_state(unpack(Xp), **unpack(kwargs_p))
 
-        def body(s, _):
-            return solver.update_state(s), jnp.zeros(())
+            def body(s, _):
+                return solver.update_state(s), jnp.zeros(())
 
-        state, _ = jax.lax.scan(body, state, None, length=iteration)
-        return solver.nll(state)
+            state, _ = jax.lax.scan(body, state, None, length=n_iter)
+            return solver.nll(state)
 
-    jitted = jax.jit(run)
+        return jax.jit(run)
+
+    jit_long = make(iteration)
+    jit_short = make(short)
+
     t0 = time.perf_counter()
-    out = jitted(Xp, kwargs_p)
+    out = jit_long(Xp, kwargs_p)
     _ = jax.device_get(out)
     compile_seconds = time.perf_counter() - t0
+    _ = jax.device_get(jit_short(Xp, kwargs_p))
 
-    n_rep = 3
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = jitted(Xp, kwargs_p)
-    _ = jax.device_get(out)
-    elapsed = time.perf_counter() - t0
-    return (iteration * n_rep) / elapsed, compile_seconds
+    def min_time(fn, n_windows=4):
+        best = float("inf")
+        for _ in range(n_windows):
+            t0 = time.perf_counter()
+            out = fn(Xp, kwargs_p)
+            _ = jax.device_get(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_long = min_time(jit_long)
+    t_short = min_time(jit_short)
+    marginal = max(t_long - t_short, 1e-9) / (iteration - short)
+    return 1.0 / marginal, compile_seconds

@@ -11,14 +11,16 @@ cond/solve, ``/root/reference/src/bss/iva.py:481-523``), timed on this host
 and cached in ``.bench_baseline.json`` (~1 min to measure; delete the file to
 re-measure).
 
-NOTE on the two published numbers: this headline times the RAW jitted
-iteration (scan of the component-layout update, loss recording off, best of
-several timing windows — min-time methodology for the shared TPU tunnel).
-``benchmarks/RESULTS.md`` times the full ``IterativeSolver`` runtime instead
-(init + state packing + the same scan via ``benchmark_solver``, averaged not
-best-of) and is therefore ~1.3-1.6× lower for the same nominal config.  Both
-are real; the headline is the kernel speed, RESULTS.md is the user-facing
-solver speed.
+METHODOLOGY (round 2): one jitted call through this development tunnel has a
+fixed ~7-9 ms dispatch round trip (measured: a do-nothing jitted call costs
+the same as a 30-iteration solver scan).  Per-iteration numbers computed as
+``30 iters / call time`` therefore measure the TUNNEL, not the chip — round
+1's "4344 iters/s ⇒ 230 µs/iter" was exactly that.  The headline now reports
+the sustained device rate by DIFFERENCING two scan lengths
+(``(L_long − L_short) / (t_long − t_short)``, min-time over several windows),
+which cancels the fixed dispatch cost; measured sustained device time for
+this workload is ~25-50 µs/iteration.  ``benchmarks/RESULTS.md`` uses the
+same differencing through ``benchmark_solver`` for every solver family.
 """
 
 import json
@@ -157,26 +159,50 @@ def bench_jax(X):
         )  # (F, N, C)
         return jnp.stack([W.real, W.imag]), nlls
 
-    # warmup: compile + first device execution (the tunnel's one-time program
-    # load is slow); jax.device_get is the only reliable completion barrier on
-    # this backend — block_until_ready returns before execution finishes.
-    W2, nll = run(X2, W2_0)
-    _ = jax.device_get(nll)
+    # two scan lengths; the fixed per-call tunnel dispatch (~7-9 ms) cancels
+    # in the difference (see module docstring).  jax.device_get is the only
+    # reliable completion barrier on this backend.
+    short, long_ = ITERS, 10 * ITERS
 
-    # the shared tunnel has high run-to-run variance; report the best of
-    # several timing windows (standard min-time methodology)
-    n_rep, n_windows = 5, 4
-    best = 0.0
-    for _ in range(n_windows):
-        start = time.perf_counter()
-        W2c = W2_0
-        for _ in range(n_rep):
-            W2c, nll = run(X2, W2c)
-        nll_host = jax.device_get(nll)
-        elapsed = time.perf_counter() - start
-        assert np.isfinite(nll_host).all()
-        best = max(best, (ITERS * n_rep) / elapsed)
-    return best
+    @jax.jit
+    def run_long(X2, W2):
+        Xc = jax.lax.complex(X2[0], X2[1])
+        planes = pair_products_planes(Xc)
+        W0c = jax.lax.complex(W2[0], W2[1])
+        W_rows = [
+            [W0c[:, s, c] for c in range(n_channels)] for s in range(n_channels)
+        ]
+        Y0 = separate_components(W_rows, Xc)
+
+        def body(carry, _):
+            W_rows, Y = carry
+            W_rows, Y, nll = auxiva_ip_step_components(Xc, W_rows, Y, planes)
+            return (W_rows, Y), nll
+
+        (W_rows, _), nlls = jax.lax.scan(body, (W_rows, Y0), None, length=long_)
+        return nlls
+
+    X2 = jax.device_put(X2)
+    W2_0 = jax.device_put(W2_0)
+    _, nll = run(X2, W2_0)
+    nll_host = jax.device_get(nll)
+    assert np.isfinite(nll_host).all()
+    _ = jax.device_get(run_long(X2, W2_0))
+
+    # min-time over several windows (shared tunnel: high run-to-run variance)
+    def min_time(fn, n_windows=5):
+        best = float("inf")
+        for _ in range(n_windows):
+            start = time.perf_counter()
+            out = fn()
+            _ = jax.device_get(out)
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    t_short = min_time(lambda: run(X2, W2_0)[1])
+    t_long = min_time(lambda: run_long(X2, W2_0))
+    marginal = max(t_long - t_short, 1e-9) / (long_ - short)
+    return 1.0 / marginal
 
 
 def main():

@@ -6,12 +6,12 @@ headline; this script records the broader table in benchmarks/RESULTS.md.
 Uses the same canonical config as BASELINE.md (2-channel, fft 4096 → 2049
 bins, ~60 s at 16 kHz → 469 frames).
 
-NOTE: these numbers time the full ``IterativeSolver`` runtime (init + state
-packing + jitted scan, averaged over repetitions via ``benchmark_solver``);
-``bench.py``'s headline times the raw component-layout iteration kernel with
-best-of-windows min-time methodology and is therefore ~1.3-1.6× higher for
-the same nominal config.  Kernel speed vs user-facing solver speed — both are
-tracked.
+METHODOLOGY: one jitted call through the development TPU tunnel costs a
+fixed ~7-9 ms dispatch round trip, so naive per-call rates measure the
+tunnel, not the chip.  ``benchmark_solver`` times two scan lengths and
+reports the differenced sustained device rate (see
+``runtime/profiling.py``); ``bench.py`` uses the same differencing on the
+raw component-layout kernel.
 """
 
 import json
@@ -128,13 +128,17 @@ def main():
         "# Benchmark results",
         "",
         "Backend: `{}`; config: 2 ch, 2049 bins (fft 4096), 469 frames,".format(backend),
-        "complex64; iterations/sec of the jitted solver-runtime scan",
-        "(loss recording off; `jax.device_get` sync; `benchmark_solver`).",
+        "complex64; SUSTAINED device iterations/sec of the jitted",
+        "solver-runtime scan (loss recording off; `jax.device_get` sync).",
         "",
-        "These are user-facing SOLVER speeds (init + state packing + scan,",
-        "averaged).  `bench.py`'s headline times the raw component-layout",
-        "iteration kernel (best-of-windows min-time) and is ~1.3-1.6x higher",
-        "on the same nominal config — kernel speed vs solver speed.",
+        "Methodology: one jitted call through the development TPU tunnel",
+        "costs a fixed ~7-9 ms dispatch round trip; rates are therefore",
+        "computed by differencing two scan lengths (the fixed cost cancels),",
+        "min-time over several windows — `benchmark_solver` in",
+        "`runtime/profiling.py`.  `bench.py`'s headline uses the same",
+        "differencing on the raw component-layout kernel.  (Round-1 numbers",
+        "divided one call's time by 30 iterations and were dominated by the",
+        "dispatch: they understate the chip ~4-10x.)",
         "",
         "| Solver | iters/s | compile + first exec (s) |",
         "|---|---|---|",
