@@ -38,7 +38,12 @@ import numpy as np
 
 from ..algorithm.projection_back import projection_back
 from ..ops.blocks import BlockLayout
-from ..ops.fast_linalg import batched_eigvalsh, batched_inv, batched_log_abs_det
+from ..ops.fast_linalg import (
+    batched_eigvalsh,
+    batched_inv,
+    batched_log_abs_det,
+    matmul_small,
+)
 from ..utils.flooring import floor_below
 from ..utils.linalg import to_psd
 from .iva import IVABase
@@ -370,14 +375,19 @@ class GaussIPSDTA(IPSDTABase):
             B, dtype=U.dtype
         )
 
-        # --- basis (matrix-sqrt chain)
+        # --- basis (matrix-sqrt chain).  The reference materializes the
+        # rank-6 ``R⁻¹(yy^H + εI)R⁻¹`` tensor; here ``S_k = Σ_t V·(zz^H)``
+        # accumulates the z outer products directly in the t-contraction
+        # (never materializing the (S,T,nb,B,B) outer-product tensor) plus
+        # the ε·Σ_t V·R⁻²  term — algebraically identical.
         R, _ = self._R_blocks_parts(U, V, layout)
         inv_R = _psd_inv(R, eps=eps, psd=True)
         z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
-        # RyyR = z z^H + eps·R⁻¹R⁻¹ (the reference adds eps·I to yy^H first)
-        RyyR = z[..., :, None] * z[..., None, :].conj() + eps * (inv_R @ inv_R)
         Vc = V.astype(U.dtype)
-        S_k = jnp.einsum("skt,stbij->skbij", Vc, RyyR)
+        inv2 = matmul_small(inv_R, inv_R)
+        S_k = jnp.einsum("skt,stbi,stbj->skbij", Vc, z, z.conj()) + eps * (
+            jnp.einsum("skt,stbij->skbij", Vc, inv2)
+        )
         T_k = jnp.einsum("skt,stbij->skbij", Vc, inv_R)
 
         sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
@@ -389,18 +399,22 @@ class GaussIPSDTA(IPSDTABase):
         U_new = layout.zero_padding_matrix(U_new)
         state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
 
-        # --- activation (trace ratio, ``ipsdta.py:625-688``)
+        # --- activation (trace ratio, ``ipsdta.py:625-688``).  With
+        # yy_psd = y y^H + d·I (the eps ridge chain produces the scalar
+        # d = eps + eps·tr(y y^H + eps·I)), the numerator
+        # tr(R⁻¹ U R⁻¹ yy_psd) = z^H U z + d·tr(U R⁻²) by trace cyclicity —
+        # no (S,T,nb,B,B) matmuls or rank-6 einsums.
         U = self._U_kmajor(state)
         R, _ = self._R_blocks_parts(U, V, layout)
-        yy = y[..., :, None] * y[..., None, :].conj()
-        # yy + eps·I is PSD with eigenvalues ≥ eps, so its to_psd reduces to
-        # the eps·trace ridge — no eigvalsh needed
-        yy = _psd_ridge(
-            yy + eps * jnp.eye(B, dtype=yy.dtype), eps=eps
-        )
         inv_R = _psd_inv(R, eps=eps, psd=True)
-        Ryy = inv_R @ yy
-        num = jnp.einsum("stbij,skbjl,stbli->skt", inv_R, U, Ryy).real
+        z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
+        ynorm = jnp.einsum("stbi,stbi->stb", y.conj(), y).real
+        # the reference's ridge chain yy → _psd_ridge(yy + eps·I) produces
+        # yy_psd = y y^H + d·I with the scalar d below
+        d = eps + eps * (ynorm + B * eps)
+        inv2_d = d[..., None, None].astype(U.dtype) * (matmul_small(inv_R, inv_R))
+        zUz = jnp.einsum("stbi,skbij,stbj->skt", z.conj(), U, z).real
+        num = zUz + jnp.einsum("skbij,stbji->skt", U, inv2_d).real
         den = jnp.einsum("stbij,skbji->skt", inv_R, U).real
         num = jnp.maximum(num, 0)
         den = floor_below(den, eps)
@@ -442,9 +456,13 @@ class GaussIPSDTA(IPSDTABase):
 
         XX = Xb[..., :, None] * Xb[..., None, :].conj()  # (T, nb, B, C, C)
         mask_offdiag = 1 - jnp.eye(B)
+        # j-major (leading in-block-bin axis) copies so every per-j body
+        # slices a LEADING axis (minor-axis slicing re-lays-out per body)
+        Xbj = jnp.moveaxis(Xb, 2, 0)  # (B, T, nb, C)
+        XXj = jnp.moveaxis(XX, 2, 0)  # (B, T, nb, C, C)
 
         # ---- sweep invariants (depend only on the source model) ----
-        inv_R_all, Q_all = [], []
+        inv_Rj_all, Q_all, Qinv_all = [], [], []
         for n in range(n_sources):
             R_n = jnp.einsum(
                 "kbij,kt->tbij", U[n], V[n].astype(U.dtype)
@@ -454,27 +472,30 @@ class GaussIPSDTA(IPSDTABase):
             inv_R_diag = jnp.diagonal(inv_R_n, axis1=-2, axis2=-1).real
             # Q[j] for every in-block bin j in one contraction
             Q_n = (
-                jnp.einsum("tbj,tbjcd->bjcd", inv_R_diag, XX) / n_frames
-            )  # (nb, B, C, C)
-            inv_R_all.append(inv_R_n)
-            Q_all.append(to_psd(Q_n, eps=eps))
+                jnp.einsum("tbj,tbjcd->jbcd", inv_R_diag, XX) / n_frames
+            )  # (B, nb, C, C)
+            inv_Rj_all.append(jnp.moveaxis(inv_R_n, 3, 0))  # (B, T, nb, B)
+            Q_n = to_psd(Q_n, eps=eps)
+            Q_all.append(Q_n)
+            Qinv_all.append(batched_inv(Q_n))
 
         def sweep(_, Wb):
             for n in range(n_sources):
-                inv_R_n, Q_n = inv_R_all[n], Q_all[n]
-                # demixed projections of source n, updated row-wise below
+                inv_Rj, Q_n, Qinv_n = inv_Rj_all[n], Q_all[n], Qinv_all[n]
+                # demixed projections of source n (j-major rows), updated
+                # row-wise below
                 Xw_n = jnp.einsum(
-                    "tbic,bic->bit", Xb.conj(), Wb[:, :, n, :].conj()
-                )  # (nb, B, T)
+                    "tbic,bic->ibt", Xb.conj(), Wb[:, :, n, :].conj()
+                )  # (B, nb, T)
 
                 for j in range(B):
-                    Q = Q_n[:, j]  # (nb, C, C)
+                    Q = Q_n[j]  # (nb, C, C)
 
                     # gamma: cross-bin coupling within the block (off-diagonal)
                     RXXw = jnp.einsum(
-                        "tbi,tbc,bit->bic",
-                        inv_R_n[:, :, :, j],
-                        Xb[:, :, j, :],
+                        "tbi,tbc,ibt->bic",
+                        inv_Rj[j],
+                        Xbj[j],
                         Xw_n,
                     ) / n_frames
                     gamma = jnp.einsum(
@@ -483,9 +504,7 @@ class GaussIPSDTA(IPSDTABase):
 
                     WQ = Wb[:, j] @ Q  # (nb, N, C)
                     zeta = batched_inv(WQ)[..., :, n]  # solve(WQ, e_n)
-                    zeta_hat = jnp.einsum(
-                        "bcd,bd->bc", batched_inv(Q), gamma
-                    )
+                    zeta_hat = jnp.einsum("bcd,bd->bc", Qinv_n[j], gamma)
                     eta = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta).real
                     eta_hat = jnp.einsum("bc,bcd,bd->b", zeta.conj(), Q, zeta_hat)
 
@@ -501,8 +520,8 @@ class GaussIPSDTA(IPSDTABase):
                     w_row = jnp.where(valid_j, w_new.conj(), Wb[:, j, n, :])
                     Wb = Wb.at[:, j, n, :].set(w_row)
                     # refresh only the changed projection row
-                    Xw_n = Xw_n.at[:, j].set(
-                        jnp.einsum("tbc,bc->bt", Xb[:, :, j, :].conj(), w_row.conj())
+                    Xw_n = Xw_n.at[j].set(
+                        jnp.einsum("tbc,bc->bt", Xbj[j].conj(), w_row.conj())
                     )
             return Wb
 
@@ -732,12 +751,15 @@ class TIPSDTA(GaussIPSDTA):
         R, _ = self._R_blocks_parts(U, V, layout)
         inv_R = _psd_inv(R, eps=eps, psd=True)
         z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
-        pi_c = pi.astype(U.dtype)
-        RyyR = (
-            z[..., :, None] * z[..., None, :].conj() + eps * (inv_R @ inv_R)
-        ) * pi_c[:, :, None, None, None]
+        # fold the posterior weight into the activations for the weighted
+        # t-contractions; the (S,T,nb,B,B) outer-product tensor is never
+        # materialized (accumulated in the contraction, as in the Gauss MM)
+        Vp = (V * pi[:, None, :]).astype(U.dtype)
         Vc = V.astype(U.dtype)
-        S_k = jnp.einsum("skt,stbij->skbij", Vc, RyyR)
+        inv2 = matmul_small(inv_R, inv_R)
+        S_k = jnp.einsum("skt,stbi,stbj->skbij", Vp, z, z.conj()) + eps * (
+            jnp.einsum("skt,stbij->skbij", Vp, inv2)
+        )
         T_k = jnp.einsum("skt,stbij->skbij", Vc, inv_R)
 
         sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
@@ -754,11 +776,12 @@ class TIPSDTA(GaussIPSDTA):
         pi2 = self._pi_weight(state, layout)
         U = self._U_kmajor(state)
         R, _ = self._R_blocks_parts(U, V, layout)
-        yy = y[..., :, None] * y[..., None, :].conj()
-        yy = yy + eps * jnp.eye(layout.block_size, dtype=yy.dtype)
         inv_R = _psd_inv(R, eps=eps, psd=True)
-        Ryy = inv_R @ yy
-        num = jnp.einsum("stbij,skbjl,stbli->skt", inv_R, U, Ryy).real
+        z = jnp.einsum("stbij,stbj->stbi", inv_R, y)
+        # tr(R⁻¹ U R⁻¹ (y y^H + ε I)) = z^H U z + ε·tr(U R⁻²) (trace cyclic)
+        inv2_e = eps * (matmul_small(inv_R, inv_R))
+        zUz = jnp.einsum("stbi,skbij,stbj->skt", z.conj(), U, z).real
+        num = zUz + jnp.einsum("skbij,stbji->skt", U, inv2_e).real
         den = jnp.einsum("stbij,skbji->skt", inv_R, U).real
         num = jnp.maximum(pi2[:, None, :] * num, 0)
         den = floor_below(den, eps)
@@ -794,31 +817,35 @@ class TIPSDTA(GaussIPSDTA):
 
         XX = Xb[..., :, None] * Xb[..., None, :].conj()  # (T, nb, B, C, C)
         mask_offdiag = 1 - jnp.eye(B)
+        Xbj = jnp.moveaxis(Xb, 2, 0)  # (B, T, nb, C)
+        XXj = jnp.moveaxis(XX, 2, 0)  # (B, T, nb, C, C)
 
-        # sweep-invariant source spectra
-        inv_R_all, inv_R_diag_all = [], []
+        # sweep-invariant source spectra (j-major for leading-axis slicing)
+        inv_Rj_all, inv_R_diagj_all = [], []
         for n in range(n_sources):
             R_n = jnp.einsum("kbij,kt->tbij", U[n], V[n].astype(U.dtype))
             R_n_psd, _ = _psd_parts(layout.pad_identity(R_n), eps=eps)
             inv_R_n = _psd_inv(R_n_psd, eps=eps, psd=True)  # (T, nb, B, B)
-            inv_R_all.append(inv_R_n)
-            inv_R_diag_all.append(
-                jnp.diagonal(inv_R_n, axis1=-2, axis2=-1).real
+            inv_Rj_all.append(jnp.moveaxis(inv_R_n, 3, 0))  # (B, T, nb, B)
+            inv_R_diagj_all.append(
+                jnp.moveaxis(
+                    jnp.diagonal(inv_R_n, axis1=-2, axis2=-1).real, 2, 0
+                )  # (B, T, nb)
             )
 
         def sweep(_, Wb):
             for n in range(n_sources):
-                inv_R_n = inv_R_all[n]
-                inv_R_diag = inv_R_diag_all[n]
+                inv_Rj = inv_Rj_all[n]
+                inv_R_diagj = inv_R_diagj_all[n]
                 Xw_n = jnp.einsum(
-                    "tbic,bic->bit", Xb.conj(), Wb[:, :, n, :].conj()
-                )  # (nb, B', T)
+                    "tbic,bic->ibt", Xb.conj(), Wb[:, :, n, :].conj()
+                )  # (B, nb, T)
 
                 for j in range(B):
                     # posterior weight from the CURRENT rows
-                    y_n = Xw_n.conj()  # (nb, B', T)
-                    z = jnp.einsum("tbij,bjt->bit", inv_R_n, y_n)
-                    yRy = jnp.einsum("bit,bit->t", y_n.conj(), z).real
+                    y_n = Xw_n.conj()  # (B', nb, T)
+                    z = jnp.einsum("jtbi,jbt->ibt", inv_Rj, y_n)
+                    yRy = jnp.einsum("ibt,ibt->t", y_n.conj(), z).real
                     pi_n = (nu + 2 * n_bins) / (nu + 2 * yRy)  # (T,)
 
                     # NOTE: fold π into the other real factor BEFORE the
@@ -826,16 +853,15 @@ class TIPSDTA(GaussIPSDTA):
                     # the TPU compiler (bisected; XLA bug workaround)
                     Q = jnp.einsum(
                         "tb,tbcd->bcd",
-                        pi_n[:, None] * inv_R_diag[:, :, j],
-                        XX[:, :, j],
+                        pi_n[:, None] * inv_R_diagj[j],
+                        XXj[j],
                     ) / n_frames
                     Q = to_psd(Q, eps=eps)
 
                     RXXw = jnp.einsum(
-                        "tbi,tbc,bit->bic",
-                        pi_n[:, None, None].astype(Xb.dtype)
-                        * inv_R_n[:, :, :, j],
-                        Xb[:, :, j, :],
+                        "tbi,tbc,ibt->bic",
+                        pi_n[:, None, None].astype(Xb.dtype) * inv_Rj[j],
+                        Xbj[j],
                         Xw_n,
                     ) / n_frames
                     gamma = jnp.einsum(
@@ -859,10 +885,8 @@ class TIPSDTA(GaussIPSDTA):
                     valid_j = layout.valid[:, j][:, None]
                     w_row = jnp.where(valid_j, w_new.conj(), Wb[:, j, n, :])
                     Wb = Wb.at[:, j, n, :].set(w_row)
-                    Xw_n = Xw_n.at[:, j].set(
-                        jnp.einsum(
-                            "tbc,bc->bt", Xb[:, :, j, :].conj(), w_row.conj()
-                        )
+                    Xw_n = Xw_n.at[j].set(
+                        jnp.einsum("tbc,bc->bt", Xbj[j].conj(), w_row.conj())
                     )
             return Wb
 

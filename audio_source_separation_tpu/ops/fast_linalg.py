@@ -131,6 +131,26 @@ def batched_eigvalsh(A):
     return jnp.linalg.eigvalsh(A)
 
 
+def matmul_small(A, B):
+    """Batched matmul on trailing n×n axes via unrolled slice products for
+    n ≤ 3 (XLA's batched-tiny-matmul lowering on TPU is ~10× slower than the
+    equivalent elementwise ops on huge batches); ``@`` fallback otherwise."""
+    n = A.shape[-1]
+    if n > 3 or B.shape[-2] != n:
+        return A @ B
+    m = B.shape[-1]
+    rows = []
+    for i in range(n):
+        cols = []
+        for j in range(m):
+            acc = A[..., i, 0] * B[..., 0, j]
+            for k in range(1, n):
+                acc = acc + A[..., i, k] * B[..., k, j]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
 def batched_log_abs_det(A):
     """``log |det A|`` for batched matrices, closed form for n ≤ 3."""
     n = A.shape[-1]
