@@ -32,10 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..algorithm.projection_back import projection_back
-from ..ops.covariance import weighted_covariance
 from ..ops.eig2 import generalized_eig2x2_descending
 from ..ops.fast_linalg import batched_log_abs_det
-from ..ops.ip import cond_guard, ip_update
+from ..ops.ip import cond_guard
 from ..ops.iss import iss_sweep
 from ..utils.flooring import floor_below
 from .iva import IVABase

@@ -32,6 +32,8 @@ the math is the same):
     with the reference's clip-at-zero + ``to_PSD`` guard chain.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,15 +56,6 @@ __authors_ipsdta__ = ["ikeshita", "kondo"]
 
 __kwargs_ikeshita_ipsdta__ = {"n_blocks": 1024, "spatial_iteration": 1}
 __kwargs_kondo_ipsdta__ = {"n_blocks": 1024, "spatial_iteration": 10}
-
-
-def _psd_sqrt(M, layout, eps=EPS):
-    """``M^{1/2}`` via eigh with clip-at-zero, then to_PSD — the reference's
-    chain (``ipsdta.py:546-558``), on identity-padded blocks."""
-    w, v = jnp.linalg.eigh(M)
-    w = jnp.sqrt(jnp.maximum(w, 0))
-    S = (v * w[..., None, :]) @ jnp.swapaxes(v, -2, -1).conj()
-    return to_psd(S, eps=eps)
 
 
 # --------------------------------------------------------------------------- #
@@ -165,6 +158,24 @@ def _sqrt_and_invsqrt_after_psd(C, pad_diag, eps=EPS):
     ridge2 = eps * iw.sum(axis=-1)
     inv_sqrt_E = _herm(_spectral(v, iw)) + ridge2[..., None, None] * eye
     return sqrt_E, inv_sqrt_E
+
+
+def _f32_matmuls(fn):
+    """Force float32 matmul/einsum multiplies inside a traced stage.
+
+    TPU's DEFAULT matmul precision (bfloat16 multiplies) destabilizes the
+    block-PSD chains — the covariances assembled from reduced-precision
+    contractions go indefinite, their adjugate inverses blow up, and the
+    solver NaNs within one iteration (measured on hardware; CPU float32 is
+    fine).  IPSDTA's contractions are memory-bound, so full-precision
+    multiplies cost nothing."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 class IPSDTABase(IVABase):
@@ -281,6 +292,7 @@ class GaussIPSDTA(IPSDTABase):
             )
         return state_kwargs
 
+    @_f32_matmuls
     def init_state(self, X, demix_filter=None, estimation=None, basis=None,
                    activation=None, fixed_point=None):
         state = super().init_state(X, demix_filter=demix_filter, estimation=estimation)
@@ -299,16 +311,10 @@ class GaussIPSDTA(IPSDTABase):
         """basis in compute layout ``(S, K, n_blocks, B, B)``."""
         return jnp.transpose(state["basis"], (0, 4, 1, 2, 3))
 
-    def _R_blocks(self, U, V, layout):
-        """``R = Σ_k U_k V_kt`` → ``(S, T, n_blocks, B, B)``, PSD-projected
-        with identity-padded diagonal."""
-        R = jnp.einsum("skbij,skt->stbij", U, V.astype(U.dtype))
-        R = to_psd(layout.pad_identity(R), eps=self.eps)
-        return R
-
     def _R_blocks_parts(self, U, V, layout):
-        """Like :meth:`_R_blocks` but also returns the eigenvalues
-        (``(R, wR)``, closed forms for B ≤ 3) so log-dets come for free."""
+        """``R = Σ_k U_k V_kt → (S, T, n_blocks, B, B)``, to_psd-projected on
+        the identity-padded blocks, plus its eigenvalues (``(R, wR)``, closed
+        forms for B ≤ 3) so log-dets come for free."""
         R = jnp.einsum("skbij,skt->stbij", U, V.astype(U.dtype))
         return _psd_parts(layout.pad_identity(R), eps=self.eps)
 
@@ -620,6 +626,7 @@ class GaussIPSDTA(IPSDTABase):
             state, basis=jnp.transpose(U, (0, 2, 3, 4, 1)), activation=V
         )
 
+    @_f32_matmuls
     def update_state(self, state):
         layout = self._layout(state["input"].shape[1])
         if self.algorithm_source == "em":
@@ -639,6 +646,7 @@ class GaussIPSDTA(IPSDTABase):
             )
         return state
 
+    @_f32_matmuls
     def nll(self, state):
         """``Σ(y^H R⁻¹ y + logdet R) − 2T Σ log|det W|`` with eigvalsh-floored
         block log-dets (``ipsdta.py:1015-1081``)."""
@@ -664,6 +672,7 @@ class GaussIPSDTA(IPSDTABase):
         logdet_W = batched_log_abs_det(W)
         return jnp.sum(yRy + logdet_R) - 2 * n_frames * logdet_W.sum()
 
+    @_f32_matmuls
     def finalize(self, state):
         X = state["input"]
         Y = state["estimation"]  # == separate(X, W) (update invariant)
@@ -900,6 +909,7 @@ class TIPSDTA(GaussIPSDTA):
             estimation=self.separate(state["input"], W_new),
         )
 
+    @_f32_matmuls
     def nll(self, state):
         """t-NLL (``ipsdta.py:1694-1760``):
         ``Σ logdet R + (ν+2F)/2 · Σ log(1 + 2/ν·y^H R⁻¹ y) − 2T log|det W|``."""

@@ -48,7 +48,21 @@ class IVABase(IterativeSolver):
     @staticmethod
     def separate(input, demix_filter):
         """``Y = W X`` per bin: ``(C,F,T) × (F,N,C) → (N,F,T)``
-        (``bss/iva.py:105-117``)."""
+        (``bss/iva.py:105-117``).
+
+        For the small channel counts BSS lives at (C ≤ 4) the per-bin matmul
+        runs as component sums — ``Σ_c w[n,c,f]·X[c,f,t]`` elementwise over
+        ``(F, T)`` — which avoids BOTH 15 MB layout transposes
+        ``(C,F,T) ⇄ (F,C,T)`` the matrix form would copy per iteration."""
+        n_sources, n_channels = demix_filter.shape[1], demix_filter.shape[2]
+        if n_channels <= 4:
+            from ..ops.ip_components import separate_components
+
+            rows = [
+                [demix_filter[:, s, c] for c in range(n_channels)]
+                for s in range(n_sources)
+            ]
+            return separate_components(rows, input)
         X = jnp.transpose(input, (1, 0, 2))  # (F, C, T)
         Y = demix_filter @ X  # (F, N, T)
         return jnp.transpose(Y, (1, 0, 2))
