@@ -18,12 +18,48 @@ import jax.numpy as jnp
 EPS = 1e-12
 
 
+def _power_2x2(X, power, eps=0.0):
+    """Closed-form Hermitian 2×2 spectral power.
+
+    For Hermitian M with eigenvalues λ₁ ≥ λ₂ and f applied spectrally,
+    ``f(M) = a·M + b·I`` with the divided differences
+    ``a = (f₁ − f₂)/(λ₁ − λ₂)``, ``b = (f₂λ₁ − f₁λ₂)/(λ₁ − λ₂)``
+    (degenerate spectrum ⇒ M = λI ⇒ f(M) = f(λ)·I).  No ``eigh``: the TPU
+    QDWH eigensolver can kernel-fault on hard batched 2×2 inputs (observed
+    on hardware inside the Sawada MNMF Riccati chain), and the closed form
+    is an order of magnitude faster anyway.
+    """
+    tr = X[..., 0, 0].real + X[..., 1, 1].real
+    det = (X[..., 0, 0] * X[..., 1, 1] - X[..., 0, 1] * X[..., 1, 0]).real
+    mean = tr / 2
+    rad = jnp.sqrt(jnp.maximum(mean**2 - det, 0.0))
+    l1, l2 = mean + rad, mean - rad
+
+    def f(w):
+        w = jnp.maximum(w, eps)
+        pw = jnp.where(w > 0, w, 1.0) ** power
+        return jnp.where(w > 0, pw, 0.0)
+
+    f1, f2 = f(l1), f(l2)
+    gap = l1 - l2
+    scale = jnp.maximum(jnp.maximum(jnp.abs(l1), jnp.abs(l2)), 1e-30)
+    safe = gap > 1e-6 * scale
+    gap_safe = jnp.where(safe, gap, 1.0)
+    a = jnp.where(safe, (f1 - f2) / gap_safe, 0.0)
+    b = jnp.where(safe, (f2 * l1 - f1 * l2) / gap_safe, f1)
+    eye = jnp.eye(2, dtype=X.dtype)
+    return a[..., None, None].astype(X.dtype) * X + b[..., None, None] * eye
+
+
 def hermitian_matrix_power(X, power, eps=0.0):
-    """Batched Hermitian fractional matrix power via ``eigh``.
+    """Batched Hermitian fractional matrix power — closed form for 2×2 (see
+    :func:`_power_2x2`), ``eigh`` otherwise.
 
     Eigenvalues are clipped at ``eps`` (for negative powers, pass a positive
     ``eps`` to regularize near-singular inputs).
     """
+    if X.shape[-1] == 2:
+        return _power_2x2(X, power, eps=eps)
     w, v = jnp.linalg.eigh(X)
     w = jnp.maximum(w, eps)
     pw = jnp.where(w > 0, w, 1.0) ** power

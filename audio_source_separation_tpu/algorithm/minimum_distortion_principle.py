@@ -33,3 +33,9 @@ def minimum_distortion_principle(Y, reference):
     if n_dims == 2:
         return scale[0]
     return scale
+
+
+def generalized_minimum_distortion_principle():
+    """Empty stub, exactly as in the reference
+    (``minimum_distortion_principle.py:33-34``)."""
+    return

@@ -9,6 +9,8 @@ reference's broken path).
 
 import jax.numpy as jnp
 
+from ..ops.fast_linalg import batched_det, batched_eigvalsh, batched_inv
+
 EPS = 1e-12
 
 
@@ -60,9 +62,9 @@ def multichannel_is_divergence(input, target, eps=EPS):
     eye = jnp.eye(n_channels, dtype=input.dtype)
     input = input + eps * eye
     target = target + eps * eye
-    XX = target @ jnp.linalg.inv(input)
+    XX = target @ batched_inv(input)
     trace = jnp.trace(XX, axis1=-2, axis2=-1).real
-    logdet = jnp.log(jnp.linalg.det(XX).real)
+    logdet = jnp.log(batched_det(XX).real)
     return trace - logdet - n_channels
 
 
@@ -74,9 +76,11 @@ def logdet_divergence(input, target, eps=EPS):
     n_channels = input.shape[-1]
     assert input.shape[-2] == input.shape[-1], "Invalid input shape"
     assert target.shape[-2] == target.shape[-1], "Invalid input shape"
-    XY = target @ jnp.linalg.inv(input)
+    # closed forms (ops/fast_linalg) for the C <= 3 cases: TPU's batched
+    # LU/eigensolver kernels can fault on hard tiny-matrix batches
+    XY = target @ batched_inv(input)
     trace = jnp.trace(XY, axis1=-2, axis2=-1).real
-    eig_x = jnp.maximum(jnp.linalg.eigvalsh(target).real, eps)
-    eig_y = jnp.maximum(jnp.linalg.eigvalsh(input).real, eps)
+    eig_x = jnp.maximum(batched_eigvalsh(target).real, eps)
+    eig_y = jnp.maximum(batched_eigvalsh(input).real, eps)
     logdet = jnp.sum(jnp.log(eig_x), axis=-1) - jnp.sum(jnp.log(eig_y), axis=-1)
     return trace - logdet - n_channels

@@ -197,7 +197,9 @@ class MultichannelISNMF(MultichannelNMFBase):
         n_channels = self.n_channels
         X_hat = self.reconstruct_covariance(state)
         eye = jnp.eye(n_channels, dtype=X_hat.dtype)
-        return jnp.linalg.inv(X_hat + self.eps * eye)
+        # closed-form adjugate inverse (C <= 3): TPU's batched LU kernel can
+        # fault on hard (F, T, C, C) batches (observed on hardware)
+        return batched_inv(X_hat + self.eps * eye)
 
     def _trace_terms(self, state):
         """``tr(X̂⁻¹XX̂⁻¹ H)`` and ``tr(X̂⁻¹ H)`` per (bin, source, frame)."""
@@ -301,7 +303,7 @@ class MultichannelISNMF(MultichannelNMFBase):
         A_h = jnp.swapaxes(A, -2, -1).conj()  # (F, S, C)
 
         Sigma_x, sigma_s = self._sigma_x(state)
-        inv_Sigma_x = jnp.linalg.inv(Sigma_x)  # (F, T, C, C)
+        inv_Sigma_x = batched_inv(Sigma_x)  # (F, T, C, C)
 
         # per-(source,basis) component variances sigma_c (F, T, S, K)
         WH = W[:, :, :, None] * H[:, None, :, :]  # (S, F, K, T)
@@ -372,10 +374,10 @@ class MultichannelISNMF(MultichannelNMFBase):
         X = state["input"]
         xc = jnp.transpose(X, (1, 2, 0))
         Sigma_x, _ = self._sigma_x(state)
-        solve_x = jnp.linalg.solve(Sigma_x, xc[..., None])[..., 0]
+        solve_x = jnp.einsum("ftcd,ftd->ftc", batched_inv(Sigma_x), xc)
         quad = jnp.einsum("ftc,ftc->ft", xc.conj(), solve_x).real
-        _, logdet = jnp.linalg.slogdet(Sigma_x)
-        return (quad + logdet.real).sum()
+        logdet = jnp.log(jnp.abs(batched_det(Sigma_x)))
+        return (quad + logdet).sum()
 
     def _separate_ozerov(self, state):
         """Posterior mean of the sources (``mnmf.py:585-617``; the reference's
@@ -385,7 +387,7 @@ class MultichannelISNMF(MultichannelNMFBase):
         xc = jnp.transpose(X, (1, 2, 0))
         A_h = jnp.swapaxes(A, -2, -1).conj()
         Sigma_x, sigma_s = self._sigma_x(state)
-        inv_Sigma_x = jnp.linalg.inv(Sigma_x)
+        inv_Sigma_x = batched_inv(Sigma_x)
         AhS = jnp.einsum("fsc,ftcd->ftsd", A_h, inv_Sigma_x)
         G_s = sigma_s[..., None].astype(A.dtype) * AhS
         s = jnp.einsum("ftsc,ftc->fts", G_s, xc)

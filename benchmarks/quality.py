@@ -48,12 +48,17 @@ def make_fixture(sr=16000, seconds=4.0, degrees=(45, 315), mics=(3, 4), seed=111
 def main():
     import audio_source_separation_tpu as asst
     from audio_source_separation_tpu.models import (
+        AuxGaussIVA,
         AuxLaplaceIVA,
+        ConsistentGaussILRMA,
         FastMultichannelISNMF,
         GaussILRMA,
         GaussIPSDTA,
+        MultichannelISNMF,
         NaturalGradLaplaceFDICA,
+        ProxLaplaceIVA,
         TILRMA,
+        TIPSDTA,
     )
     from audio_source_separation_tpu.utils.metrics import si_sdr_improvement
 
@@ -61,14 +66,24 @@ def main():
     mixture, images = make_fixture()
     X = np.asarray(asst.stft(mixture, fft_size=fft_size, hop_size=hop))
 
+    # every solver family runs on REAL mixtures on the actual backend — this
+    # doubles as the hardware-numerics validation sweep (it caught TPU's
+    # default bf16 matmul precision NaN'ing the IPSDTA block chains)
     configs = [
         ("AuxIVA-IP", 50, lambda: AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)),
         ("AuxIVA-ISS", 100, lambda: AuxLaplaceIVA(algorithm_spatial="ISS", recordable_loss=False)),
+        ("AuxIVA-IP2", 100, lambda: AuxLaplaceIVA(algorithm_spatial="IP2", recordable_loss=False)),
+        ("AuxGaussIVA-IP", 50, lambda: AuxGaussIVA(algorithm_spatial="IP", recordable_loss=False)),
         ("GaussILRMA (K=4)", 50, lambda: GaussILRMA(n_basis=4, recordable_loss=False)),
         ("tILRMA (K=4, nu=1000)", 50, lambda: TILRMA(n_basis=4, nu=1000, recordable_loss=False)),
+        ("ConsistentILRMA (K=4)", 50, lambda: ConsistentGaussILRMA(n_basis=4, fft_size=fft_size, hop_size=hop, recordable_loss=False)),
         ("FastMNMF (K=4)", 50, lambda: FastMultichannelISNMF(n_basis=4, recordable_loss=False)),
+        ("Sawada MNMF (K=4)", 30, lambda: MultichannelISNMF(n_basis=4, recordable_loss=False)),
         ("NatGradFDICA", 100, lambda: NaturalGradLaplaceFDICA(recordable_loss=False)),
+        ("ProxLaplaceIVA", 100, lambda: ProxLaplaceIVA(recordable_loss=False)),
         ("GaussIPSDTA Kondo (K=2)", 20, lambda: GaussIPSDTA(n_basis=2, author="Kondo", n_blocks=256, recordable_loss=False)),
+        ("GaussIPSDTA Ikeshita (K=2)", 20, lambda: GaussIPSDTA(n_basis=2, author="Ikeshita", n_blocks=256, recordable_loss=False)),
+        ("tIPSDTA (K=2, nu=1000)", 20, lambda: TIPSDTA(n_basis=2, nu=1000, n_blocks=256, recordable_loss=False)),
     ]
 
     rows = []

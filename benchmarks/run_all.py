@@ -30,6 +30,7 @@ from audio_source_separation_tpu.models import (
     FastMultichannelISNMF,
     GaussILRMA,
     GaussIPSDTA,
+    MultichannelISNMF,
     NaturalGradLaplaceFDICA,
     TILRMA,
     TIPSDTA,
@@ -99,6 +100,7 @@ def main():
         ("GaussILRMA (K=10)", 30, lambda: GaussILRMA(n_basis=10, recordable_loss=False)),
         ("tILRMA (K=10)", 30, lambda: TILRMA(n_basis=10, nu=1000, recordable_loss=False)),
         ("FastMNMF (K=10)", 30, lambda: FastMultichannelISNMF(n_basis=10, recordable_loss=False)),
+        ("Sawada MNMF (K=10)", 10, lambda: MultichannelISNMF(n_basis=10, recordable_loss=False)),
         ("NatGradFDICA", 30, lambda: NaturalGradLaplaceFDICA(recordable_loss=False)),
         ("GaussIPSDTA Kondo (K=2)", 5, lambda: GaussIPSDTA(n_basis=2, author="Kondo", recordable_loss=False)),
         ("GaussIPSDTA Ikeshita (K=2)", 5, lambda: GaussIPSDTA(n_basis=2, author="Ikeshita", recordable_loss=False)),
