@@ -44,8 +44,11 @@ from ..ops.fast_linalg import (
     batched_eigvalsh,
     batched_inv,
     batched_log_abs_det,
+    hermitian_eigvalsh_planes,
+    inv_planes,
     matmul_small,
 )
+from ..ops.ip_components import det_components, solve_column_components
 from ..utils.flooring import floor_below
 from ..utils.linalg import to_psd
 from .iva import IVABase
@@ -105,6 +108,56 @@ def _psd_inv(R, eps=EPS, psd=True):
         eye = jnp.eye(inv.shape[-1], dtype=inv.dtype)
         inv = inv + ridge[..., None, None] * eye
     return inv
+
+
+# --------------------------------------------------------------------------- #
+# planes-layout duals of the PSD chain: block-matrix axes LEAD
+# (``P (B, B, ...batch)``), so every entry is a fully-tiled plane over
+# (frames, blocks) and no array with a tiny minor dimension ever crosses a
+# fusion boundary (the matrix layout pads B ≤ 3 minors to the 8×128 tile —
+# up to ~100× the HBM traffic of the payload).  Same math as the matrix
+# versions above, entry-by-entry.
+# --------------------------------------------------------------------------- #
+def _herm_planes(P):
+    return (P + jnp.swapaxes(P, 0, 1).conj()) / 2
+
+
+def _add_diag_planes(P, s):
+    """Add the real plane ``s (...)`` to the diagonal planes of ``P (n, n, ...)``."""
+    n = P.shape[0]
+    eye = jnp.eye(n, dtype=P.dtype).reshape((n, n) + (1,) * (P.ndim - 2))
+    return P + eye * s[None, None].astype(P.dtype)
+
+
+def _trace_planes(P):
+    n = P.shape[0]
+    tr = P[0, 0].real
+    for i in range(1, n):
+        tr = tr + P[i, i].real
+    return tr
+
+
+def _psd_parts_planes(P, eps=EPS):
+    """Planes dual of :func:`_psd_parts`: ``(to_psd(P), eigenvalues)``."""
+    H = _herm_planes(P)
+    w = hermitian_eigvalsh_planes(H)  # (B, ...)
+    delta = jnp.minimum(jnp.min(w, axis=0), 0)
+    shift = eps * _trace_planes(H) - delta
+    return _add_diag_planes(H, shift), w + shift[None]
+
+
+def _psd_inv_planes(R, eps=EPS, psd=True):
+    """Planes dual of :func:`_psd_inv` (adjugate inverse + optional ridge)."""
+    inv = inv_planes(R)
+    if psd:
+        inv = _herm_planes(inv)
+        inv = _add_diag_planes(inv, eps * _trace_planes(inv))
+    return inv
+
+
+def _to_psd_planes(P, eps=EPS):
+    projected, _ = _psd_parts_planes(P, eps=eps)
+    return projected
 
 
 def _psd_ridge(S, eps=EPS):
@@ -437,7 +490,192 @@ class GaussIPSDTA(IPSDTABase):
         per-(source, bin) spatial covariances ``Q`` and the blocked data
         tensors — are computed ONCE instead of per sweep (the reference
         recomputes them every sweep; Kondo's default is 10 sweeps/iteration).
-        The per-row solves use the closed-form C×C inverses
+
+        Dispatches to the planes-layout implementation (every per-block /
+        per-bin small-matrix quantity carried with its tiny axes LEADING and
+        the (frames, blocks) axes in the tile) when the closed forms cover the
+        block/channel sizes; the matrix-layout variant is the generic
+        fallback."""
+        W = state["demix_filter"]
+        n_sources, n_channels = W.shape[1], W.shape[2]
+        if layout.block_size <= 3 and n_channels <= 3 and n_sources == n_channels:
+            return self._update_spatial_vcd_planes(state, layout, n_spatial)
+        return self._update_spatial_vcd_matrix(state, layout, n_spatial)
+
+    def _vcd_data_planes(self, state, layout):
+        """Shared VCD planes preamble: the blocked mixture/demixer in planes
+        layout — ``XP (B, C, T, nb)``, ``WP (B, N, C, nb)`` (invalid slots
+        identity-padded), and the boolean valid plane ``(B, nb)``."""
+        X = state["input"]  # (C, F, T)
+        W = state["demix_filter"]  # (F, N, C)
+        n_sources, n_channels = W.shape[1], W.shape[2]
+        Xg = layout.gather(jnp.transpose(X, (0, 2, 1)))  # (C, T, nb, B)
+        XP = jnp.transpose(Xg, (3, 0, 1, 2))  # (B, C, T, nb)
+        Wg = layout.gather(jnp.transpose(W, (1, 2, 0)))  # (N, C, nb, B)
+        WP = jnp.transpose(Wg, (3, 0, 1, 2))  # (B, N, C, nb)
+        eyeNC = jnp.eye(n_sources, n_channels, dtype=W.dtype)
+        validB = jnp.transpose(layout.valid)  # (B, nb)
+        WP = jnp.where(~validB[:, None, None, :], eyeNC[:, :, None], WP)
+        return XP, WP, validB
+
+    def _vcd_source_invariants_planes(self, state, layout):
+        """Per-source sweep invariants in planes layout: the to_psd-projected
+        source-covariance inverses ``RinvP (S, B, B, T, nb)`` and their real
+        diagonals ``(S, B, T, nb)``."""
+        eps = self.eps
+        U = self._U_kmajor(state)  # (S, K, nb, B, B)
+        V = state["activation"]  # (S, K, T)
+        B = layout.block_size
+        n_sources = U.shape[0]
+        UP = jnp.transpose(U, (0, 1, 3, 4, 2))  # (S, K, B, B, nb)
+        invf = jnp.transpose(~layout.valid).astype(U.real.dtype)  # (B, nb)
+        padP = jnp.eye(B, dtype=U.dtype)[:, :, None] * invf[None]  # (B, B, nb)
+        Rinv_all, diag_all = [], []
+        for n in range(n_sources):
+            RP = jnp.einsum("kijb,kt->ijtb", UP[n], V[n].astype(U.dtype))
+            RP = RP + padP[:, :, None, :]
+            RP, _ = _psd_parts_planes(RP, eps=eps)
+            RinvP = _psd_inv_planes(RP, eps=eps, psd=True)  # (B, B, T, nb)
+            Rinv_all.append(RinvP)
+            diag_all.append(
+                jnp.stack([RinvP[j, j].real for j in range(B)])
+            )  # (B, T, nb)
+        return Rinv_all, diag_all
+
+    @staticmethod
+    def _vcd_q_planes(wxt, XP_j, n_frames, n_channels, eps):
+        """Spatial covariance ``Q (C, C, nb)`` for one in-block bin from the
+        real frame weights ``wxt (T, nb)`` — Hermitian upper triangle built
+        from fused plane products, to_psd-projected."""
+        rows = [[None] * n_channels for _ in range(n_channels)]
+        for c in range(n_channels):
+            for d in range(c, n_channels):
+                q = jnp.sum(wxt * XP_j[c] * XP_j[d].conj(), axis=0) / n_frames
+                rows[c][d] = q
+                if d != c:
+                    rows[d][c] = q.conj()
+        return _to_psd_planes(jnp.stack([jnp.stack(r) for r in rows]), eps=eps)
+
+    @staticmethod
+    def _vcd_row_update(WP, Xw, QP_j, Qinv_j, gamma, n, j, valid_j, XP_j, eps):
+        """The VCD root formula (``ipsdta.py:942-973``) for row (n, j) in
+        component land; returns the functionally-updated ``(WP, Xw)``."""
+        C = WP.shape[2]
+        WQ = [
+            [
+                sum(WP[j, m, c] * QP_j[c, d] for c in range(C))
+                for d in range(C)
+            ]
+            for m in range(WP.shape[1])
+        ]
+        det = det_components(WQ, C)
+        zeta = solve_column_components(WQ, C, n, det=det)  # C × (nb,)
+        zeta_hat = [
+            sum(Qinv_j[c, d] * gamma[d] for d in range(C)) for c in range(C)
+        ]
+        Qz = [sum(QP_j[c, d] * zeta[d] for d in range(C)) for c in range(C)]
+        Qzh = [
+            sum(QP_j[c, d] * zeta_hat[d] for d in range(C)) for c in range(C)
+        ]
+        eta = sum((zeta[c].conj() * Qz[c]).real for c in range(C))
+        eta_hat = sum(zeta[c].conj() * Qzh[c] for c in range(C))
+
+        eta = floor_below(eta, eps)
+        small = jnp.abs(eta_hat) < eps
+        eta_hat_f = jnp.where(small, eps, eta_hat)
+        weight = (eta_hat_f / (2 * eta)) * (
+            1 - jnp.sqrt(1 + 4 * eta / (jnp.abs(eta_hat_f) ** 2))
+        )
+        weight = jnp.where(small, 1 / jnp.sqrt(eta), weight)
+        w_row = [
+            jnp.where(
+                valid_j,
+                (weight * zeta[c] - zeta_hat[c]).conj(),
+                WP[j, n, c],
+            )
+            for c in range(C)
+        ]
+        WP = WP.at[j, n].set(jnp.stack(w_row))
+        Xw = Xw.at[j].set(
+            sum(XP_j[c].conj() * w_row[c].conj()[None, :] for c in range(C))
+        )
+        return WP, Xw
+
+    def _vcd_scatter_planes(self, WP, layout):
+        W_new = layout.scatter(jnp.transpose(WP, (1, 2, 3, 0)))  # (N, C, F)
+        return jnp.transpose(W_new, (2, 0, 1))
+
+    def _update_spatial_vcd_planes(self, state, layout, n_spatial=1):
+        """Planes-layout VCD: identical update order and guards as the matrix
+        variant, but every small-matrix quantity keeps its tiny axes leading —
+        the whole per-(source, bin) body fuses into a handful of full-tile
+        elementwise/reduce kernels with zero (…, B, B)/(…, C, C) arrays
+        crossing fusion boundaries."""
+        eps = self.eps
+        X = state["input"]
+        n_sources, n_channels = (
+            state["demix_filter"].shape[1],
+            state["demix_filter"].shape[2],
+        )
+        B = layout.block_size
+        n_frames = X.shape[-1]
+
+        XP, WP0, validB = self._vcd_data_planes(state, layout)
+        Rinv_all, diag_all = self._vcd_source_invariants_planes(state, layout)
+
+        # Q and its adjugate inverse are sweep-invariant in the Gauss VCD
+        Q_all, Qinv_all = [], []
+        for n in range(n_sources):
+            Q_n = jnp.stack(
+                [
+                    self._vcd_q_planes(
+                        diag_all[n][j], XP[j], n_frames, n_channels, eps
+                    )
+                    for j in range(B)
+                ]
+            )  # (B, C, C, nb)
+            Q_all.append(Q_n)
+            Qinv_all.append(
+                jnp.stack([inv_planes(Q_n[j]) for j in range(B)])
+            )
+
+        def sweep(_, WP):
+            for n in range(n_sources):
+                RinvP, Q_n, Qinv_n = Rinv_all[n], Q_all[n], Qinv_all[n]
+                Xw = jnp.stack(
+                    [
+                        sum(
+                            XP[i, c].conj() * WP[i, n, c].conj()[None, :]
+                            for c in range(n_channels)
+                        )
+                        for i in range(B)
+                    ]
+                )  # (B, T, nb)
+                for j in range(B):
+                    coupled = sum(
+                        RinvP[i, j] * Xw[i] for i in range(B) if i != j
+                    )
+                    gamma = [
+                        jnp.sum(coupled * XP[j, c], axis=0) / n_frames
+                        for c in range(n_channels)
+                    ]
+                    WP, Xw = self._vcd_row_update(
+                        WP, Xw, Q_n[j], Qinv_n[j], gamma, n, j,
+                        validB[j], XP[j], eps,
+                    )
+            return WP
+
+        WP = jax.lax.fori_loop(0, n_spatial, sweep, WP0)
+        W_new = self._vcd_scatter_planes(WP, layout)
+        return dict(
+            state,
+            demix_filter=W_new,
+            estimation=self.separate(state["input"], W_new),
+        )
+
+    def _update_spatial_vcd_matrix(self, state, layout, n_spatial=1):
+        """Matrix-layout VCD fallback (blocks/channels beyond the closed
+        forms).  The per-row solves use the closed-form C×C inverses
         (``ops/fast_linalg``) batched over blocks."""
         eps = self.eps
         X = state["input"]  # (C, F, T)
@@ -797,14 +1035,79 @@ class TIPSDTA(GaussIPSDTA):
         V_new = V * jnp.sqrt(num / den)
         return dict(state, activation=V_new)
 
-    def _update_spatial_vcd(self, state, layout, n_spatial=1):
-        """t-VCD (``ipsdta.py:1472-1660``): the Gauss VCD with the posterior
-        weight ``π_n(t)`` recomputed inside every neighbor sweep from the
-        CURRENT demixing rows and applied to the frame statistics.  The
-        source-model covariances (``R_n`` spectra) are sweep-invariant and
-        hoisted out of all ``n_spatial × B`` inner bodies; the per-row solves
-        use closed-form C×C inverses; the demixed projections ``Xw`` are
-        updated incrementally (only the changed row)."""
+    def _update_spatial_vcd_planes(self, state, layout, n_spatial=1):
+        """Planes-layout t-VCD (``ipsdta.py:1472-1660``): the Gauss planes VCD
+        with the posterior weight ``π_n(t)`` recomputed inside every
+        per-(source, bin) body from the CURRENT demixing rows and folded into
+        the frame statistics (so ``Q`` is NOT sweep-invariant here)."""
+        eps, nu = self.eps, self.nu
+        X = state["input"]
+        n_sources, n_channels = (
+            state["demix_filter"].shape[1],
+            state["demix_filter"].shape[2],
+        )
+        n_bins = X.shape[1]
+        B = layout.block_size
+        n_frames = X.shape[-1]
+
+        XP, WP0, validB = self._vcd_data_planes(state, layout)
+        Rinv_all, diag_all = self._vcd_source_invariants_planes(state, layout)
+
+        def sweep(_, WP):
+            for n in range(n_sources):
+                RinvP, diag = Rinv_all[n], diag_all[n]
+                Xw = jnp.stack(
+                    [
+                        sum(
+                            XP[i, c].conj() * WP[i, n, c].conj()[None, :]
+                            for c in range(n_channels)
+                        )
+                        for i in range(B)
+                    ]
+                )  # (B, T, nb)
+                for j in range(B):
+                    # posterior weight from the CURRENT rows:
+                    # π = (ν + 2F) / (ν + 2·y^H R⁻¹ y), y = conj(Xw)
+                    y = [Xw[i].conj() for i in range(B)]
+                    z = [
+                        sum(RinvP[i, k] * y[k] for k in range(B))
+                        for i in range(B)
+                    ]
+                    yRy = sum(
+                        (y[i].conj() * z[i]).real for i in range(B)
+                    ).sum(axis=1)  # (T,)
+                    pi_n = (nu + 2 * n_bins) / (nu + 2 * yRy)  # (T,)
+
+                    wxt = pi_n[:, None] * diag[j]  # (T, nb)
+                    Q_j = self._vcd_q_planes(
+                        wxt, XP[j], n_frames, n_channels, eps
+                    )
+                    Qinv_j = inv_planes(Q_j)
+
+                    coupled = pi_n[:, None].astype(XP.dtype) * sum(
+                        RinvP[i, j] * Xw[i] for i in range(B) if i != j
+                    )
+                    gamma = [
+                        jnp.sum(coupled * XP[j, c], axis=0) / n_frames
+                        for c in range(n_channels)
+                    ]
+                    WP, Xw = self._vcd_row_update(
+                        WP, Xw, Q_j, Qinv_j, gamma, n, j,
+                        validB[j], XP[j], eps,
+                    )
+            return WP
+
+        WP = jax.lax.fori_loop(0, n_spatial, sweep, WP0)
+        W_new = self._vcd_scatter_planes(WP, layout)
+        return dict(
+            state,
+            demix_filter=W_new,
+            estimation=self.separate(state["input"], W_new),
+        )
+
+    def _update_spatial_vcd_matrix(self, state, layout, n_spatial=1):
+        """Matrix-layout t-VCD fallback (blocks/channels beyond the closed
+        forms)."""
         eps, nu = self.eps, self.nu
         X = state["input"]
         W = state["demix_filter"]

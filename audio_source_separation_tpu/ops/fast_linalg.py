@@ -151,6 +151,104 @@ def matmul_small(A, B):
     return jnp.stack(rows, axis=-2)
 
 
+# --------------------------------------------------------------------------- #
+# planes layout: the matrix axes LEAD (``P (n, n, ...batch)``) so every slice
+# ``P[i, j]`` is a fully-tiled plane over the batch axes.  The trailing-axes
+# variants above still materialize ``(..., n, n)`` arrays whose tiny minor
+# dims pad to the (8 × 128) tile — fine inside one fusion, but every array
+# that crosses a fusion boundary in that layout costs ~(8·128)/n² its size in
+# HBM traffic.  Hot block-diagonal solvers (IPSDTA VCD) keep ALL small-matrix
+# quantities in planes layout end-to-end and use these duals instead.
+# --------------------------------------------------------------------------- #
+def det_planes(P):
+    """Determinant from planes ``P (n, n, ...) → (...)``; closed form n ≤ 3."""
+    n = P.shape[0]
+    if n == 1:
+        return P[0, 0]
+    if n == 2:
+        return P[0, 0] * P[1, 1] - P[0, 1] * P[1, 0]
+    if n == 3:
+        return (
+            P[0, 0] * (P[1, 1] * P[2, 2] - P[1, 2] * P[2, 1])
+            - P[0, 1] * (P[1, 0] * P[2, 2] - P[1, 2] * P[2, 0])
+            + P[0, 2] * (P[1, 0] * P[2, 1] - P[1, 1] * P[2, 0])
+        )
+    raise ValueError("det_planes: closed forms cover n <= 3, got {}".format(n))
+
+
+def inv_planes(P, det=None):
+    """Inverse from planes ``P (n, n, ...) → (n, n, ...)``; adjugate, n ≤ 3."""
+    n = P.shape[0]
+    if det is None:
+        det = det_planes(P)
+    if n == 1:
+        return (1.0 / det)[None, None]
+    if n == 2:
+        rows = [[P[1, 1], -P[0, 1]], [-P[1, 0], P[0, 0]]]
+    elif n == 3:
+        a, b, c = P[0, 0], P[0, 1], P[0, 2]
+        d, e, f = P[1, 0], P[1, 1], P[1, 2]
+        g, h, i = P[2, 0], P[2, 1], P[2, 2]
+        rows = [
+            [e * i - f * h, c * h - b * i, b * f - c * e],
+            [f * g - d * i, a * i - c * g, c * d - a * f],
+            [d * h - e * g, b * g - a * h, a * e - b * d],
+        ]
+    else:
+        raise ValueError("inv_planes: closed forms cover n <= 3, got {}".format(n))
+    return jnp.stack([jnp.stack(r) for r in rows]) / det
+
+
+def hermitian_eigvalsh_planes(P):
+    """Eigenvalues (ascending, stacked leading) of Hermitian planes
+    ``P (n, n, ...) → (n, ...)``; same closed forms as
+    :func:`hermitian_eigvalsh_2x2` / :func:`hermitian_eigvalsh_3x3`."""
+    n = P.shape[0]
+    if n == 1:
+        return P[0, 0].real[None]
+    if n == 2:
+        a, d, b = P[0, 0].real, P[1, 1].real, P[0, 1]
+        mean = (a + d) / 2
+        rad = jnp.sqrt(((a - d) / 2) ** 2 + jnp.abs(b) ** 2)
+        return jnp.stack([mean - rad, mean + rad])
+    if n == 3:
+        q = (P[0, 0].real + P[1, 1].real + P[2, 2].real) / 3
+        p1 = (
+            jnp.abs(P[0, 1]) ** 2
+            + jnp.abs(P[0, 2]) ** 2
+            + jnp.abs(P[1, 2]) ** 2
+        )
+        d0 = P[0, 0].real - q
+        d1 = P[1, 1].real - q
+        d2 = P[2, 2].real - q
+        p2 = d0**2 + d1**2 + d2**2 + 2 * p1
+        degenerate = p2 <= 0
+        p = jnp.sqrt(jnp.where(degenerate, 1.0, p2) / 6)
+        qc = q.astype(P.dtype)
+        Bp = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        (P[i, j] - qc) / p if i == j else P[i, j] / p
+                        for j in range(3)
+                    ]
+                )
+                for i in range(3)
+            ]
+        )
+        r = jnp.clip(det_planes(Bp).real / 2, -1.0, 1.0)
+        phi = jnp.arccos(r) / 3
+        two_pi_3 = 2 * jnp.pi / 3
+        e_hi = q + 2 * p * jnp.cos(phi)
+        e_lo = q + 2 * p * jnp.cos(phi + two_pi_3)
+        e_mid = 3 * q - e_hi - e_lo
+        eigs = jnp.stack([e_lo, e_mid, e_hi])
+        return jnp.where(degenerate[None], q[None], eigs)
+    raise ValueError(
+        "hermitian_eigvalsh_planes: closed forms cover n <= 3, got {}".format(n)
+    )
+
+
 def batched_log_abs_det(A):
     """``log |det A|`` for batched matrices, closed form for n ≤ 3."""
     n = A.shape[-1]

@@ -145,3 +145,53 @@ def test_ipsdta_invalid_author():
         GaussIPSDTA(author="Kondo", bogus=3)
     with pytest.raises(ValueError):
         TIPSDTA(author="Ikeshita")
+
+
+# --------------------------------------------------------------------------- #
+# planes-layout VCD vs matrix-layout VCD (same math, different data layout)
+# --------------------------------------------------------------------------- #
+def _vcd_state(rng, cls, n_bins=10, n_blocks=4, **kw):
+    """B = 3 with remainder blocks (10 bins / 4 blocks → sizes 2,2,3,3) — the
+    same non-uniform geometry as the canonical 2049/1024 config."""
+    S, T, K = 2, 6, 2
+    X = (rng.randn(S, n_bins, T) + 1j * rng.randn(S, n_bins, T)).astype(
+        np.complex128
+    )
+    np.random.seed(111)
+    solver = cls(n_basis=K, n_blocks=n_blocks, recordable_loss=False, **kw)
+    solver.set_shape_metadata(X)
+    kwargs = solver.prepare_state_kwargs(X, {})
+    import jax.numpy as jnp
+
+    state = solver.init_state(
+        jnp.asarray(X), **{k: jnp.asarray(v) for k, v in kwargs.items()}
+    )
+    return solver, state
+
+
+@pytest.mark.parametrize("sweeps", [1, 3])
+def test_vcd_planes_matches_matrix_gauss(rng, sweeps):
+    solver, state = _vcd_state(rng, GaussIPSDTA, n_bins=10, n_blocks=4)
+    layout = solver._layout(10)
+    assert layout.block_size == 3 and layout.n_remains > 0
+    out_p = solver._update_spatial_vcd_planes(state, layout, n_spatial=sweeps)
+    out_m = solver._update_spatial_vcd_matrix(state, layout, n_spatial=sweeps)
+    np.testing.assert_allclose(
+        np.asarray(out_p["demix_filter"]),
+        np.asarray(out_m["demix_filter"]),
+        atol=1e-10,
+        rtol=1e-8,
+    )
+
+
+def test_vcd_planes_matches_matrix_t(rng):
+    solver, state = _vcd_state(rng, TIPSDTA, n_bins=10, n_blocks=4, nu=3.0)
+    layout = solver._layout(10)
+    out_p = solver._update_spatial_vcd_planes(state, layout, n_spatial=2)
+    out_m = solver._update_spatial_vcd_matrix(state, layout, n_spatial=2)
+    np.testing.assert_allclose(
+        np.asarray(out_p["demix_filter"]),
+        np.asarray(out_m["demix_filter"]),
+        atol=1e-10,
+        rtol=1e-8,
+    )
