@@ -375,8 +375,22 @@ class GaussILRMA(ILRMABase):
 
         if self.normalize == "power" or self.normalize is True:
             P = jnp.abs(Y) ** 2
-            aux = floor_below(jnp.sqrt(P.mean(axis=(1, 2))), eps)  # (S,)
-            W = W / aux[None, :, None]
+            # mean over the TRUE bin count (trace-time constant): identical
+            # to .mean() when unpadded; keeps the per-source RMS exact when
+            # the bin axis is zero-padded for a mesh (use_mesh pad_bins)
+            n_eff = (Y.shape[1] - self._bin_pad) * Y.shape[2]
+            aux = floor_below(jnp.sqrt(P.sum(axis=(1, 2)) / n_eff), eps)  # (S,)
+            if self._bin_pad:
+                # keep the padded identity rows unscaled — their data is zero
+                # (scaling is a no-op for Y/T there) but their log-dets enter
+                # the NLL; leaving them at I keeps the padded-loss offset an
+                # iteration-independent constant
+                valid = (
+                    jnp.arange(W.shape[0]) < W.shape[0] - self._bin_pad
+                )[:, None, None]
+                W = jnp.where(valid, W / aux[None, :, None], W)
+            else:
+                W = W / aux[None, :, None]
             Y = Y / aux[:, None, None]
             if self.partitioning:
                 Z = state["latent"]
@@ -436,6 +450,20 @@ class GaussILRMA(ILRMABase):
         R = floor_below(self.source_variance(state), self.eps)
         return jnp.sum(P / R + jnp.log(R)) - 2 * n_frames * jnp.sum(
             batched_log_abs_det(W)
+        )
+
+    def supports_bin_padding(self):
+        """Zero bins are neutral for Gauss-ILRMA's IP paths: zero spectra
+        freeze the padded NMF rows at zero (MU numerators vanish), the
+        covariance guard keeps identity demixing rows, the power
+        normalization divides by the TRUE bin count (see
+        ``_normalize_state``), and padded bins add only an
+        iteration-independent ``log(eps)`` constant to the NLL.
+        Projection-back normalization is per-bin least squares (0/0 on
+        empty bins) and ISS materializes the filter the same way — both
+        stay opted out."""
+        return self.algorithm_spatial in ("IP", "IP1", "IP2", "pairwise") and (
+            self.normalize in (False, True, "power")
         )
 
     def __repr__(self):
@@ -670,6 +698,11 @@ class ConsistentGaussILRMA(GaussILRMA):
             hop_size = fft_size // 2
         self.fft_size, self.hop_size = fft_size, hop_size
         assert self.algorithm_spatial == "IP", "Supports only IP-based spatial update."
+
+    def supports_bin_padding(self):
+        """The per-iteration consistency projection (istft → stft) requires
+        the true ``fft_size // 2 + 1`` bin geometry — padding is not neutral."""
+        return False
 
     def update_state(self, state):
         from ..transform.stft import istft, stft

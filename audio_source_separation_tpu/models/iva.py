@@ -18,6 +18,7 @@ instead of general complex ``eig`` which is not TPU-native).
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..algorithm.projection_back import projection_back
 from ..ops.packing import jit_complex, realify, to_host
@@ -126,6 +127,15 @@ class IVABase(IterativeSolver):
             "estimation": {"bins": 1, "frames": 2},
             "pair_products": {"bins": 1, "frames": 2},
         }
+
+    def pad_state_kwarg(self, field, value, pad, axis):
+        """Padded bins get IDENTITY demixing rows (zeros would make the
+        per-bin log-dets −inf); everything else zero-pads."""
+        if field == "demix_filter":
+            n, c = value.shape[-2], value.shape[-1]
+            eye = np.broadcast_to(np.eye(n, c, dtype=value.dtype), (pad, n, c))
+            return np.concatenate([value, eye], axis=0)
+        return super().pad_state_kwarg(field, value, pad, axis)
 
     def _weighted_covariance(self, state, inv_weights):
         planes = state.get("pair_products")
@@ -432,6 +442,16 @@ class AuxLaplaceIVA(AuxIVABase):
         P = jnp.sum(jnp.abs(Y) ** 2, axis=1)
         R = 2 * jnp.sqrt(P)
         return R.sum() - 2 * n_frames * batched_log_abs_det(W).sum()
+
+    def supports_bin_padding(self):
+        """Zero bins are exactly neutral for the Laplace-AuxIVA IP paths:
+        the frame weights ``R = √(Σ_f |Y_f|²)`` SUM over bins (zeros
+        contribute nothing), padded covariances are zero so the
+        ill-conditioning guard keeps the identity rows, and the padded
+        ``log|det I| = 0`` terms leave the NLL exact.  ISS has no guard
+        (its least-squares demix-filter materialization is 0/0 on empty
+        bins), so only the IP/IP2 family opts in."""
+        return self.algorithm_spatial in ("IP", "IP1", "IP2", "pairwise")
 
     def __repr__(self):
         return "AuxLaplaceIVA(algorithm_spatial={})".format(self.algorithm_spatial)

@@ -72,6 +72,8 @@ class IterativeSolver:
         self._mesh = None
         self._shard_mode = "bins"
         self._shard_axis_name = None
+        self._shard_pad = False
+        self._bin_pad = 0
 
     # ------------------------------------------------------------------ #
     # multi-chip execution (mesh-aware runtime)
@@ -83,7 +85,7 @@ class IterativeSolver:
         override; unknown fields replicate.  Negative indices allowed."""
         return {}
 
-    def use_mesh(self, mesh, mode="bins", axis_name=None):
+    def use_mesh(self, mesh, mode="bins", axis_name=None, pad_bins=False):
         """Run every jitted stage (init / scan / nll / finalize) under
         ``mesh`` with explicit in/out shardings on the whole state pytree.
 
@@ -97,19 +99,46 @@ class IterativeSolver:
 
         The sharded axis length must be divisible by the mesh axis size (XLA
         shards evenly): pick a mesh that divides the bin/frame count
-        (F = 2049 = 3·683 shards over 3 devices; T = 469 = 7·67 over 7) or
-        size the STFT so a power-of-two mesh divides it.  Indivisible
-        combinations raise with a clear message at ``__call__`` time.
+        (F = 2049 = 3·683 shards over 3 devices; T = 469 = 7·67 over 7), size
+        the STFT so a power-of-two mesh divides it, or — for solvers whose
+        updates are provably zero-bin neutral
+        (:meth:`supports_bin_padding`) — pass ``pad_bins=True`` to zero-pad
+        the bin axis up to the next multiple of the mesh axis.  Padded bins
+        carry zero data and identity demixing rows, never couple into the
+        valid bins (cross-bin reductions are sums over zero contributions,
+        and the ill-conditioning guard keeps padded rows fixed), and are
+        cropped from the output; recorded losses are exact for the AuxIVA
+        family and offset by an iteration-independent constant (the floored
+        ``log R`` of padded bins) for ILRMA.  Other indivisible combinations
+        raise with a clear message at ``__call__`` time.
         """
         if mode not in ("bins", "frames"):
             raise ValueError("mode must be 'bins' or 'frames', got {!r}".format(mode))
         self._mesh = mesh
         self._shard_mode = mode
+        self._shard_pad = bool(pad_bins)
         if mesh is not None and axis_name is None:
             axis_name = "tp" if "tp" in mesh.axis_names else mesh.axis_names[-1]
         self._shard_axis_name = axis_name
         self._jit_cache = {}  # shardings are part of the compiled signature
         return self
+
+    # ------------------------------------------------------------------ #
+    # bin padding (indivisible F under a bins-sharded mesh)
+    # ------------------------------------------------------------------ #
+    def supports_bin_padding(self):
+        """Whether zero bins are provably neutral for this solver's updates
+        (zero data + identity demix rows stay fixed and contribute nothing to
+        cross-bin reductions).  Subclasses opt in per configuration."""
+        return False
+
+    def pad_state_kwarg(self, field, value, pad, axis):
+        """Pad a warm-started state array along its bin axis (zeros by
+        default; solvers override for fields with a different neutral fill,
+        e.g. identity demixing rows)."""
+        widths = [(0, 0)] * value.ndim
+        widths[axis] = (0, pad)
+        return np.pad(value, widths)
 
     def _covariance_flatten(self):
         """Whether the pair-product covariance may merge (planes, bins) into
@@ -181,6 +210,10 @@ class IterativeSolver:
     # runtime
     # ------------------------------------------------------------------ #
     def _get_jit(self, name, fn_factory, in_shardings=None, out_shardings=None):
+        # the pad count is a trace-time constant (true-bin-count denominators,
+        # see pad_bins): two calls with the same padded shapes but different
+        # true F must not share a compiled program
+        name = "pad{}:{}".format(self._bin_pad, name)
         if name not in self._jit_cache:
             kwargs = {}
             if in_shardings is not None:
@@ -256,6 +289,37 @@ class IterativeSolver:
         self.set_shape_metadata(input)
         state_kwargs = self.prepare_state_kwargs(input, state_kwargs)
 
+        # bin padding: host inits above used the TRUE bin count; pad the
+        # input and every bins-axis state array up to the mesh multiple
+        mesh = getattr(self, "_mesh", None)
+        self._bin_pad = 0
+        n_bins_true = input.shape[1] if input.ndim == 3 else None
+        if (
+            mesh is not None
+            and self._shard_mode == "bins"
+            and input.ndim == 3
+            and input.shape[1] % mesh.shape[self._shard_axis_name] != 0
+            and self._shard_pad
+        ):
+            if not self.supports_bin_padding():
+                raise ValueError(
+                    "use_mesh(pad_bins=True): {} does not support zero-bin "
+                    "padding in this configuration (padded bins must be "
+                    "provably neutral); choose a mesh that divides n_bins "
+                    "or size the STFT so one does".format(type(self).__name__)
+                )
+            pad = (-input.shape[1]) % mesh.shape[self._shard_axis_name]
+            self._bin_pad = pad
+            input = np.pad(input, ((0, 0), (0, pad), (0, 0)))
+            axes = self.field_axes()
+            for k in list(state_kwargs):
+                v = state_kwargs[k]
+                ax = (axes.get(k) or {}).get("bins")
+                if v is None or ax is None:
+                    continue
+                v = np.asarray(v)
+                state_kwargs[k] = self.pad_state_kwarg(k, v, pad, ax % v.ndim)
+
         Xp = pack(input)
         kwargs_p = pack(
             {k: np.asarray(v) for k, v in state_kwargs.items() if v is not None}
@@ -263,7 +327,6 @@ class IterativeSolver:
 
         # mesh-aware runtime: every jit stage carries explicit in/out
         # shardings on the state pytree (see use_mesh)
-        mesh = getattr(self, "_mesh", None)
         state_sh = scalar_sh = None
         if mesh is not None:
             axis_size = mesh.shape[self._shard_axis_name]
@@ -271,8 +334,10 @@ class IterativeSolver:
             if length % axis_size != 0:
                 raise ValueError(
                     "use_mesh(mode={!r}): axis length {} is not divisible by "
-                    "the {}-way mesh axis {!r}; choose a mesh that divides it "
-                    "(or size the STFT so one does)".format(
+                    "the {}-way mesh axis {!r}; choose a mesh that divides it, "
+                    "size the STFT so one does, or pass "
+                    "use_mesh(..., pad_bins=True) for solvers that support "
+                    "zero-bin padding".format(
                         self._shard_mode, length, axis_size, self._shard_axis_name
                     )
                 )
@@ -333,6 +398,8 @@ class IterativeSolver:
             self._sync_attributes(state)
 
         output = self._run_finalize(state)
+        if self._bin_pad:
+            output = output[:, : n_bins_true]
         self.estimation = output
         return output
 

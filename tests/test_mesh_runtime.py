@@ -139,3 +139,75 @@ def test_batch_separate_output_stays_distributed(rng):
     solver2 = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)
     outputs_ref, _ = batch_separate(solver2, X, iteration=3)
     np.testing.assert_allclose(to_host(outputs_p), outputs_ref, atol=1e-10)
+
+
+# --------------------------------------------------------------------------- #
+# zero-bin padding for indivisible F (use_mesh pad_bins=True)
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("spatial", ["IP", "IP2"])
+def test_auxiva_pad_bins_matches_single(rng, spatial):
+    """F = 33 on the 8-way mesh pads to 40; padded bins are exactly neutral
+    for the AuxIVA IP/IP2 paths (output AND loss)."""
+    X = _canonical_mixture(rng, n_bins=33, n_frames=24)
+
+    single = AuxLaplaceIVA(algorithm_spatial=spatial)
+    out_single = single(X, iteration=6)
+
+    padded = AuxLaplaceIVA(algorithm_spatial=spatial)
+    padded.use_mesh(_mesh_1d(8), mode="bins", pad_bins=True)
+    out_padded = padded(X, iteration=6)
+
+    assert out_padded.shape == out_single.shape
+    np.testing.assert_allclose(
+        np.asarray(padded.loss), np.asarray(single.loss), rtol=1e-9
+    )
+    np.testing.assert_allclose(out_padded, out_single, atol=1e-10)
+
+
+def test_auxiva_pad_bins_warm_start(rng):
+    """Warm-started demixing filters get identity rows on padded bins."""
+    X = _canonical_mixture(rng, n_bins=33, n_frames=24)
+    W0 = np.stack(
+        [np.eye(2) + 0.1j * rng.randn(2, 2) for _ in range(33)]
+    ).astype(np.complex128)
+
+    single = AuxLaplaceIVA(algorithm_spatial="IP")
+    out_single = single(X, iteration=4, demix_filter=W0)
+
+    padded = AuxLaplaceIVA(algorithm_spatial="IP")
+    padded.use_mesh(_mesh_1d(8), mode="bins", pad_bins=True)
+    out_padded = padded(X, iteration=4, demix_filter=W0)
+
+    np.testing.assert_allclose(
+        np.asarray(padded.loss), np.asarray(single.loss), rtol=1e-9
+    )
+    np.testing.assert_allclose(out_padded, out_single, atol=1e-10)
+
+
+def test_gauss_ilrma_pad_bins_matches_single(rng):
+    """ILRMA (power normalization) under padding: identical outputs; the loss
+    differs only by the iteration-independent log(eps) constant of the
+    padded bins."""
+    X = _canonical_mixture(rng, n_bins=33, n_frames=24)
+
+    np.random.seed(111)
+    single = GaussILRMA(n_basis=3)
+    out_single = single(X, iteration=6)
+
+    np.random.seed(111)
+    padded = GaussILRMA(n_basis=3)
+    padded.use_mesh(_mesh_1d(8), mode="bins", pad_bins=True)
+    out_padded = padded(X, iteration=6)
+
+    np.testing.assert_allclose(out_padded, out_single, atol=1e-8)
+    offsets = np.asarray(padded.loss) - np.asarray(single.loss)
+    np.testing.assert_allclose(offsets, offsets[0], rtol=1e-9)
+
+
+def test_pad_bins_unsupported_raises(rng):
+    """ISS has no covariance guard — padding is not neutral and must raise."""
+    X = _canonical_mixture(rng, n_bins=33, n_frames=16)
+    solver = AuxLaplaceIVA(algorithm_spatial="ISS")
+    solver.use_mesh(_mesh_1d(8), mode="bins", pad_bins=True)
+    with pytest.raises(ValueError, match="does not support"):
+        solver(X, iteration=1)
