@@ -44,9 +44,10 @@ from ..ops.fast_linalg import (
     batched_eigvalsh,
     batched_inv,
     batched_log_abs_det,
-    hermitian_eigvalsh_planes,
     inv_planes,
     matmul_small,
+    psd_inv_planes,
+    psd_parts_planes,
 )
 from ..ops.ip_components import det_components, solve_column_components
 from ..utils.flooring import floor_below
@@ -115,48 +116,15 @@ def _psd_inv(R, eps=EPS, psd=True):
 # (``P (B, B, ...batch)``), so every entry is a fully-tiled plane over
 # (frames, blocks) and no array with a tiny minor dimension ever crosses a
 # fusion boundary (the matrix layout pads B ≤ 3 minors to the 8×128 tile —
-# up to ~100× the HBM traffic of the payload).  Same math as the matrix
-# versions above, entry-by-entry.
+# up to ~100× the HBM traffic of the payload).  Shared closed forms live in
+# ``ops/fast_linalg`` (same math as the matrix versions, entry-by-entry).
 # --------------------------------------------------------------------------- #
-def _herm_planes(P):
-    return (P + jnp.swapaxes(P, 0, 1).conj()) / 2
-
-
-def _add_diag_planes(P, s):
-    """Add the real plane ``s (...)`` to the diagonal planes of ``P (n, n, ...)``."""
-    n = P.shape[0]
-    eye = jnp.eye(n, dtype=P.dtype).reshape((n, n) + (1,) * (P.ndim - 2))
-    return P + eye * s[None, None].astype(P.dtype)
-
-
-def _trace_planes(P):
-    n = P.shape[0]
-    tr = P[0, 0].real
-    for i in range(1, n):
-        tr = tr + P[i, i].real
-    return tr
-
-
-def _psd_parts_planes(P, eps=EPS):
-    """Planes dual of :func:`_psd_parts`: ``(to_psd(P), eigenvalues)``."""
-    H = _herm_planes(P)
-    w = hermitian_eigvalsh_planes(H)  # (B, ...)
-    delta = jnp.minimum(jnp.min(w, axis=0), 0)
-    shift = eps * _trace_planes(H) - delta
-    return _add_diag_planes(H, shift), w + shift[None]
-
-
-def _psd_inv_planes(R, eps=EPS, psd=True):
-    """Planes dual of :func:`_psd_inv` (adjugate inverse + optional ridge)."""
-    inv = inv_planes(R)
-    if psd:
-        inv = _herm_planes(inv)
-        inv = _add_diag_planes(inv, eps * _trace_planes(inv))
-    return inv
+_psd_parts_planes = psd_parts_planes
+_psd_inv_planes = psd_inv_planes
 
 
 def _to_psd_planes(P, eps=EPS):
-    projected, _ = _psd_parts_planes(P, eps=eps)
+    projected, _ = psd_parts_planes(P, eps=eps)
     return projected
 
 

@@ -19,12 +19,22 @@ Parity targets (reference ``src/bss/mnmf.py``):
   * ``MultichanneltNMF`` — stub warning, like the reference (``:619-635``).
 
 Documented divergences from the reference's broken paths (its Ozerov mode is
-flagged "in progress", ``mnmf.py:149``):
+flagged "in progress", ``mnmf.py:149``; each fix is also documented at its
+definition site):
   * Ozerov NLL uses the correct Gaussian likelihood
     ``tr(xx^H Σ_x^{-1}) + log det Σ_x`` — the reference computes
     ``tr(xx^H Σ_x)`` (``mnmf.py:531``);
   * Ozerov separation builds ``Σ_x = A Σ_s A^H + Σ_b`` — the reference
-    multiplies ``A Σ_s`` twice (``mnmf.py:607``).
+    multiplies ``A Σ_s`` twice (``mnmf.py:607``);
+  * Ozerov normalization preserves the likelihood (``a→a/λ`` compensated by
+    ``W→W·λ²`` per (bin, source)) — the reference divides W by a λ that is a
+    scalar over all bins (``mnmf.py:364-368``), changing the model every
+    iteration;
+  * the Ozerov M step is sequential (H from the NEW W) and its divisions /
+    residual noise diagonal are eps-floored; the init is scaled to the data
+    power.  With these four fixes the EM NLL decreases monotonically on real
+    mixtures (float64; verified) where the reference's formulation diverges
+    and overflows within ~5 iterations.
 
 TPU design: every trace/contraction is an einsum (no ``(F,S,T,C,C)``
 broadcast materializations); the batched C×C inverses and the PSD Riccati
@@ -39,7 +49,15 @@ import numpy as np
 from ..algorithm.linalg import solve_riccati
 from ..criterion.divergence import logdet_divergence
 from ..ops.ip import cond_guard
-from ..ops.fast_linalg import batched_det, batched_inv
+from ..ops.fast_linalg import (
+    add_diag_planes,
+    batched_det,
+    batched_inv,
+    inv_planes,
+    matmul_planes,
+    psd_parts_planes,
+)
+from ..ops.ip_components import _plane_index, pair_products_planes
 from ..runtime.solver import IterativeSolver
 from ..utils.flooring import floor_below
 from ..utils.linalg import to_psd
@@ -117,7 +135,7 @@ class MultichannelISNMF(MultichannelNMFBase):
         if self.author.lower() == "sawada":
             return dict(
                 common,
-                covariance_input={"bins": 0, "frames": 1},
+                covariance_planes={"bins": 1, "frames": 2},
                 spatial={"bins": 0},
                 basis={"bins": 0},
                 activation={"frames": -1},
@@ -151,6 +169,19 @@ class MultichannelISNMF(MultichannelNMFBase):
             if "activation" not in state_kwargs:
                 state_kwargs["activation"] = np.random.rand(n_basis, n_frames)
         else:
+            # documented divergence: the reference's (unfinished) Ozerov init
+            # is scale-blind — rand(0, 1) spectra and a 1e-2·(P + rand(0, 1))
+            # noise floor regardless of the data's power
+            # (``mnmf.py:255-272``).  On quiet real-world mixtures
+            # (|x|² ≪ 1) the model variance then exceeds the data by orders
+            # of magnitude and the EM runs away (W↓/H↑ by ~10³ per
+            # iteration until overflow — reproduced with the reference
+            # math in float64).  The draws below keep the reference's RNG
+            # order/count but scale the variance factors to the observed
+            # mean power, which is a no-op at the reference's implicit
+            # O(1)-power operating point.
+            P = np.mean(np.sum(np.abs(input) ** 2, axis=0), axis=1)  # (n_bins,)
+            p_bar = max(float(np.mean(P)), eps)
             if "mix_filter" not in state_kwargs:
                 state_kwargs["mix_filter"] = np.random.randn(
                     n_bins, n_channels, n_sources
@@ -158,13 +189,12 @@ class MultichannelISNMF(MultichannelNMFBase):
             if "basis" not in state_kwargs:
                 state_kwargs["basis"] = np.random.rand(n_sources, n_bins, n_basis)
             if "activation" not in state_kwargs:
-                state_kwargs["activation"] = np.random.rand(
+                state_kwargs["activation"] = p_bar * np.random.rand(
                     n_sources, n_basis, n_frames
                 )
             if "noise_covariance" not in state_kwargs:
-                P = np.mean(np.sum(np.abs(input) ** 2, axis=0), axis=1)  # (n_bins,)
                 state_kwargs["noise_covariance"] = 1e-2 * (
-                    P[:, None] + np.random.rand(n_bins, n_channels)
+                    P[:, None] + p_bar * np.random.rand(n_bins, n_channels)
                 )
         return state_kwargs
 
@@ -176,9 +206,12 @@ class MultichannelISNMF(MultichannelNMFBase):
         state = {"input": X}
         state.update(kwargs)
         if self.author.lower() == "sawada":
-            # observed covariance tensor (``mnmf.py:216-217``)
-            xc = jnp.transpose(X, (1, 2, 0))  # (F, T, C)
-            state["covariance_input"] = xc[..., :, None] * xc[..., None, :].conj()
+            # observed covariance tensor (``mnmf.py:216-217``), stored as
+            # compact Hermitian pair-product planes ``(C², F, T)`` — the
+            # planes layout keeps the (bins, frames) axes in the TPU tile
+            # (a materialized (F, T, C, C) array pads its C=2 minors to the
+            # 8×128 tile: ~256× the payload in HBM traffic per read)
+            state["covariance_planes"] = pair_products_planes(X)
         return state
 
     # ------------------------------------------------------------------ #
@@ -188,28 +221,80 @@ class MultichannelISNMF(MultichannelNMFBase):
         Z, T, V = state["latent"], state["basis"], state["activation"]
         return jnp.einsum("sk,fk,kt->sft", Z, T, V)  # (S, F, T)
 
-    def reconstruct_covariance(self, state):
-        H = state["spatial"]  # (F, S, C, C)
-        ZTV = self._ztv(state).astype(H.dtype)
-        return jnp.einsum("fscd,sft->ftcd", H, ZTV)  # (F, T, C, C)
+    def _cov_planes_complex(self, state):
+        """Observed covariance as complex planes ``(C, C, F, T)`` assembled
+        from the compact Hermitian storage (fuses into consumers — never a
+        (F, T, C, C) array in HBM)."""
+        planes = state["covariance_planes"]
+        C = self.n_channels
+        index, _ = _plane_index(C)
 
-    def _inv_xhat(self, state):
-        n_channels = self.n_channels
-        X_hat = self.reconstruct_covariance(state)
-        eye = jnp.eye(n_channels, dtype=X_hat.dtype)
-        # closed-form adjugate inverse (C <= 3): TPU's batched LU kernel can
-        # fault on hard (F, T, C, C) batches (observed on hardware)
-        return batched_inv(X_hat + self.eps * eye)
+        def entry(c, d):
+            if c == d:
+                return planes[index[("re", c, c)]] + 0j
+            if c < d:
+                re, im = index[("re", c, d)], index[("im", c, d)]
+                return planes[re] + 1j * planes[im]
+            re, im = index[("re", d, c)], index[("im", d, c)]
+            return planes[re] - 1j * planes[im]
+
+        return jnp.stack(
+            [jnp.stack([entry(c, d) for d in range(C)]) for c in range(C)]
+        )
+
+    def _xhat_planes(self, state):
+        """``X̂ = Σ_s H_s ZTV_s`` as planes ``(C, C, F, T)``
+        (``mnmf.py:216-217`` reconstruction)."""
+        H = state["spatial"]  # (F, S, C, C)
+        ZTV = self._ztv(state).astype(H.dtype)  # (S, F, T)
+        C = self.n_channels
+        n_sources = H.shape[1]
+        return jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        sum(
+                            H[:, s, c, d][:, None] * ZTV[s]
+                            for s in range(n_sources)
+                        )
+                        for d in range(C)
+                    ]
+                )
+                for c in range(C)
+            ]
+        )
+
+    def _inv_xhat_planes(self, state, Xh=None):
+        """Adjugate inverse of ``X̂ + eps·I`` in planes layout (TPU's batched
+        LU kernel can fault on hard (F, T, C, C) batches — observed on
+        hardware)."""
+        if Xh is None:
+            Xh = self._xhat_planes(state)
+        return inv_planes(add_diag_planes(Xh, jnp.full(Xh.shape[2:], self.eps)))
 
     def _trace_terms(self, state):
-        """``tr(X̂⁻¹XX̂⁻¹ H)`` and ``tr(X̂⁻¹ H)`` per (bin, source, frame)."""
-        X = state["covariance_input"]
+        """``tr(X̂⁻¹XX̂⁻¹ H)`` and ``tr(X̂⁻¹ H)`` per (bin, source, frame) —
+        all in planes layout; returns ``(F, S, T)`` reals."""
         H = state["spatial"]
-        inv_X_hat = self._inv_xhat(state)
-        XXX = inv_X_hat @ X @ inv_X_hat
-        num = jnp.einsum("ftcd,fsdc->fst", XXX, H).real
-        den = jnp.einsum("ftcd,fsdc->fst", inv_X_hat, H).real
-        return num, den
+        C = self.n_channels
+        n_sources = H.shape[1]
+        inv = self._inv_xhat_planes(state)
+        XXX = matmul_planes(matmul_planes(inv, self._cov_planes_complex(state)), inv)
+
+        def traces(P):
+            return jnp.stack(
+                [
+                    sum(
+                        (P[c, d] * H[:, s, d, c][:, None]).real
+                        for c in range(C)
+                        for d in range(C)
+                    )
+                    for s in range(n_sources)
+                ],
+                axis=1,
+            )  # (F, S, T)
+
+        return traces(XXX), traces(inv)
 
     def _update_sawada(self, state):
         eps = self.eps
@@ -237,14 +322,40 @@ class MultichannelISNMF(MultichannelNMFBase):
         Z = Z / floor_below(Z.sum(axis=0), eps)
         state = dict(state, latent=Z)
 
-        # spatial via Riccati (``mnmf.py:449-473``)
+        # spatial via Riccati (``mnmf.py:449-473``): the frame contractions
+        # ``A = Σ_t ZTV·X̂⁻¹`` / ``Σ_t ZTV·X̂⁻¹XX̂⁻¹`` are per-entry plane
+        # reductions; the Riccati solve itself runs on the small (F, S, C, C)
+        # results
         H = state["spatial"]
-        X = state["covariance_input"]
-        inv_X_hat = self._inv_xhat(state)
-        XXX = inv_X_hat @ X @ inv_X_hat
+        C = self.n_channels
+        n_sources = H.shape[1]
+        inv = self._inv_xhat_planes(state)
+        XXX = matmul_planes(matmul_planes(inv, self._cov_planes_complex(state)), inv)
         ZTV = self._ztv(state).astype(H.dtype)
-        A = jnp.einsum("sft,ftcd->fscd", ZTV, inv_X_hat)
-        ZTVXXX = jnp.einsum("sft,ftcd->fscd", ZTV, XXX)
+
+        def contract_t(P):
+            return jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    (ZTV[s] * P[c, d]).sum(axis=-1)
+                                    for d in range(C)
+                                ],
+                                axis=-1,
+                            )
+                            for c in range(C)
+                        ],
+                        axis=-2,
+                    )
+                    for s in range(n_sources)
+                ],
+                axis=1,
+            )  # (F, S, C, C)
+
+        A = contract_t(inv)
+        ZTVXXX = contract_t(XXX)
         B = H @ ZTVXXX @ H
         H = solve_riccati(A, B)
         H = H + eps * jnp.eye(self.n_channels, dtype=H.dtype)
@@ -253,86 +364,190 @@ class MultichannelISNMF(MultichannelNMFBase):
         return dict(state, spatial=H)
 
     def _nll_sawada(self, state):
+        """Log-det divergence between the PSD-projected observed and model
+        covariances (``criterion/divergence.py:83-105`` semantics), in planes
+        layout: one closed-form eigvalsh per operand supplies the floored
+        log-dets, the trace comes from the planes product."""
         n_channels = self.n_channels
         eps = self.eps
-        X = state["covariance_input"]
-        X_hat = self.reconstruct_covariance(state)
-        eye = jnp.eye(n_channels, dtype=X_hat.dtype)
-        X, X_hat = to_psd(X, eps=eps) + eps * eye, to_psd(X_hat, eps=eps) + eps * eye
-        return logdet_divergence(X_hat, X, eps=eps).sum()
+        X_psd, wX = psd_parts_planes(self._cov_planes_complex(state), eps=eps)
+        Xh_psd, wXh = psd_parts_planes(self._xhat_planes(state), eps=eps)
+        ridge = jnp.full(X_psd.shape[2:], eps)
+        X_psd = add_diag_planes(X_psd, ridge)
+        Xh_psd = add_diag_planes(Xh_psd, ridge)
+        wX, wXh = wX + eps, wXh + eps
+        inv_h = inv_planes(Xh_psd)
+        trace = sum(
+            (X_psd[c, d] * inv_h[d, c]).real
+            for c in range(n_channels)
+            for d in range(n_channels)
+        )
+        logdet = jnp.log(jnp.maximum(wX, eps)).sum(axis=0) - jnp.log(
+            jnp.maximum(wXh, eps)
+        ).sum(axis=0)
+        return (trace - logdet - n_channels).sum()
 
     def _separate_sawada(self, state):
         """Multichannel Wiener filter at the reference mic (``mnmf.py:554-583``)."""
-        X = state["input"]
+        X = state["input"]  # (C, F, T)
         H = state["spatial"]  # (F, S, C, C)
-        inv_X_hat = self._inv_xhat(state)
-        xc = jnp.transpose(X, (1, 2, 0))  # (F, T, C)
-        v = jnp.einsum("ftcd,ftd->ftc", inv_X_hat, xc)  # X̂⁻¹ x
+        C = self.n_channels
+        n_sources = H.shape[1]
+        inv = self._inv_xhat_planes(state)
+        v = [sum(inv[c, d] * X[d] for d in range(C)) for c in range(C)]  # X̂⁻¹x
         # row `reference_id` of H[f,s] @ v[f,t]
         Href = H[:, :, self.reference_id, :]  # (F, S, C)
-        HXx = jnp.einsum("fsd,ftd->sft", Href, v)
+        HXx = jnp.stack(
+            [
+                sum(Href[:, s, d][:, None] * v[d] for d in range(C))
+                for s in range(n_sources)
+            ]
+        )  # (S, F, T)
         ZTV = self._ztv(state).astype(HXx.dtype)
         return ZTV * HXx
 
     # ------------------------------------------------------------------ #
-    # Ozerov machinery (EM)
+    # Ozerov machinery (EM) — planes layout throughout: every (frames ×
+    # bins)-sized quantity keeps its tiny channel/source/basis axes LEADING
+    # (a materialized (F, T, C, C)/(F, T, S, K) array pads its small minors
+    # to the TPU tile, costing orders of magnitude in HBM traffic)
     # ------------------------------------------------------------------ #
-    def _sigma_x(self, state):
+    def _sigma_planes(self, state):
+        """``Σx`` as planes ``(C, C, F, T)`` plus the per-source variances
+        ``σ_s (S, F, T)`` (``mnmf.py:307-330`` model covariance)."""
         A = state["mix_filter"]  # (F, C, S)
         sigma_b = state["noise_covariance"]  # (F, C)
-        W, H = state["basis"], state["activation"]
-        n_channels = self.n_channels
-        sigma_s = jnp.transpose((W @ H), (1, 2, 0))  # (F, T, S)
-        A_h = jnp.swapaxes(A, -2, -1).conj()
-        AsA = jnp.einsum(
-            "fcs,fts,fsd->ftcd", A, sigma_s.astype(A.dtype), A_h
-        )
-        Sigma_b = sigma_b[:, :, None] * jnp.eye(n_channels, dtype=A.dtype)
-        Sigma_x = AsA + Sigma_b[:, None]
-        return (Sigma_x + jnp.swapaxes(Sigma_x, -2, -1).conj()) / 2, sigma_s
+        W, H = state["basis"], state["activation"]  # (S, F, K), (S, K, T)
+        C, S = self.n_channels, self.n_sources
+        sigma_s = W @ H  # (S, F, T) real
+        sA = sigma_s.astype(A.dtype)
+        rows = []
+        for c in range(C):
+            row = []
+            for d in range(C):
+                acc = sum(
+                    (A[:, c, s] * A[:, d, s].conj())[:, None] * sA[s]
+                    for s in range(S)
+                )
+                if c == d:
+                    acc = acc + sigma_b[:, c][:, None]
+                row.append(acc)
+            rows.append(jnp.stack(row))
+        Sx = jnp.stack(rows)  # (C, C, F, T)
+        return (Sx + jnp.swapaxes(Sx, 0, 1).conj()) / 2, sigma_s
+
+    def _posterior_planes(self, state, Sx_p, sigma_s):
+        """``A^H Σx⁻¹ (S, C, F, T)``, the Wiener gains ``G (S, C, F, T)`` and
+        the posterior source means ``s (S, F, T)``."""
+        A = state["mix_filter"]
+        X = state["input"]  # (C, F, T) — the x planes
+        C, S = self.n_channels, self.n_sources
+        inv_p = inv_planes(Sx_p)
+        AhS = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        sum(
+                            A[:, c, s].conj()[:, None] * inv_p[c, d]
+                            for c in range(C)
+                        )
+                        for d in range(C)
+                    ]
+                )
+                for s in range(S)
+            ]
+        )  # (S, C, F, T): (A^H Σx⁻¹)[s, d]
+        G = sigma_s.astype(A.dtype)[:, None] * AhS  # (S, C, F, T)
+        s_post = jnp.stack(
+            [sum(G[s, d] * X[d] for d in range(C)) for s in range(S)]
+        )  # (S, F, T)
+        return AhS, G, s_post
 
     def _update_ozerov(self, state):
-        n_basis = self.n_basis
         n_sources, n_channels = self.n_sources, self.n_channels
-        X = state["input"]
+        X = state["input"]  # (C, F, T)
         A = state["mix_filter"]
         W, H = state["basis"], state["activation"]
-        n_frames = X.shape[-1]
+        n_basis = self.n_basis
+        C, S, K = n_channels, n_sources, n_basis
 
-        xc = jnp.transpose(X, (1, 2, 0))  # (F, T, C)
-        A_h = jnp.swapaxes(A, -2, -1).conj()  # (F, S, C)
+        Sx_p, sigma_s = self._sigma_planes(state)
+        AhS, G, s_post = self._posterior_planes(state, Sx_p, sigma_s)
+        sA = sigma_s.astype(A.dtype)
 
-        Sigma_x, sigma_s = self._sigma_x(state)
-        inv_Sigma_x = batched_inv(Sigma_x)  # (F, T, C, C)
+        def mean_t(plane):
+            return plane.mean(axis=-1)  # (F,)
 
-        # per-(source,basis) component variances sigma_c (F, T, S, K)
-        WH = W[:, :, :, None] * H[:, None, :, :]  # (S, F, K, T)
-        sigma_c = jnp.transpose(WH, (1, 3, 0, 2))  # (F, T, S, K)
-
-        AhS = jnp.einsum("fsc,ftcd->ftsd", A_h, inv_Sigma_x)  # A^H Σx⁻¹
-        G_s = sigma_s[..., None].astype(A.dtype) * AhS  # (F, T, S, C)
-        s = jnp.einsum("ftsc,ftc->fts", G_s, xc)  # posterior source means
-
-        R_xx = jnp.mean(xc[..., :, None] * xc[..., None, :].conj(), axis=1)
-        R_xs = jnp.mean(xc[..., :, None] * s[..., None, :].conj(), axis=1)
-
-        G_s_A = jnp.einsum("ftsc,fcr->ftsr", G_s, A)  # (F, T, S, S)
-        I_GsA = jnp.eye(n_sources, dtype=A.dtype) - G_s_A
-        R_ss = jnp.mean(
-            s[..., :, None] * s[..., None, :].conj()
-            + I_GsA * sigma_s[:, :, None, :].astype(A.dtype),
-            axis=1,
-        )
+        # sufficient statistics (small (F, ·, ·) outputs from plane reductions)
+        R_xx = jnp.stack(
+            [
+                jnp.stack([mean_t(X[c] * X[d].conj()) for d in range(C)], -1)
+                for c in range(C)
+            ],
+            -2,
+        )  # (F, C, C)
+        R_xs = jnp.stack(
+            [
+                jnp.stack(
+                    [mean_t(X[c] * s_post[s].conj()) for s in range(S)], -1
+                )
+                for c in range(C)
+            ],
+            -2,
+        )  # (F, C, S)
+        # R_ss[s, r] = mean_t [ s_s s̄_r + (δ_sr − (GA)[s, r]) σ_r ]
+        GA = [
+            [sum(G[s, c] * A[:, c, r][:, None] for c in range(C)) for r in range(S)]
+            for s in range(S)
+        ]
+        R_ss = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        mean_t(
+                            s_post[s] * s_post[r].conj()
+                            + ((1.0 if s == r else 0.0) - GA[s][r]) * sA[r]
+                        )
+                        for r in range(S)
+                    ],
+                    -1,
+                )
+                for s in range(S)
+            ],
+            -2,
+        )  # (F, S, S)
         R_ss = (R_ss + jnp.swapaxes(R_ss, -2, -1).conj()) / 2
 
-        # component posteriors: only diagonals are needed
+        # component posteriors (diagonals only, ``mnmf.py:332-355``):
         # c_i = σ_c,i (a_i^H Σx⁻¹ x);  U_i = |c_i|² + (1 − σ_c,i a_i^H Σx⁻¹ a_i) σ_c,i
-        aSx = jnp.einsum("ftsd,ftd->fts", AhS, xc)  # a_s^H Σx⁻¹ x (F, T, S)
-        aSa = jnp.einsum("ftsd,fds->fts", AhS, A)  # a_s^H Σx⁻¹ a_s
-        sigma_cA = sigma_c.astype(A.dtype)
-        c = sigma_cA * aSx[:, :, :, None]  # (F, T, S, K)
-        U = (jnp.abs(c) ** 2 + (1 - sigma_cA * aSa[:, :, :, None]).real * sigma_c).real
-        U = jnp.transpose(U, (2, 0, 3, 1))  # (S, F, K, T)
+        aSx = jnp.stack(
+            [sum(AhS[s, d] * X[d] for d in range(C)) for s in range(S)]
+        )  # (S, F, T)
+        aSa = jnp.stack(
+            [
+                sum(AhS[s, d] * A[:, d, s][:, None] for d in range(C))
+                for s in range(S)
+            ]
+        )  # (S, F, T)
+        # σ_c[s, k](f, t) = W[s, f, k]·H[s, k, t]; U stays (S, K) planes
+        U_p = [
+            [
+                (
+                    jnp.abs(
+                        (W[s, :, k][:, None] * H[s, k][None, :]).astype(A.dtype)
+                        * aSx[s]
+                    )
+                    ** 2
+                    + (
+                        1
+                        - (W[s, :, k][:, None] * H[s, k][None, :]) * aSa[s].real
+                    )
+                    * (W[s, :, k][:, None] * H[s, k][None, :])
+                ).real
+                for k in range(K)
+            ]
+            for s in range(S)
+        ]
 
         # M step (``mnmf.py:357-375``)
         A_new = jnp.swapaxes(
@@ -344,18 +559,71 @@ class MultichannelISNMF(MultichannelNMFBase):
         ).conj()  # R_xs R_ss⁻¹
         A_newh = jnp.swapaxes(A_new, -2, -1).conj()
         R_xs_h = jnp.swapaxes(R_xs, -2, -1).conj()
-        sigma_b = jnp.diagonal(
-            R_xx - A_new @ R_xs_h - R_xs @ A_newh + A_new @ R_ss @ A_newh,
-            axis1=-2,
-            axis2=-1,
-        ).real
-        W_new = jnp.mean(U / H[:, None, :, :], axis=3)
-        H_new = jnp.mean(U / W[:, :, :, None], axis=1)
+        # the residual diagonal is PSD in exact arithmetic but can go
+        # (slightly, then catastrophically) negative numerically — an
+        # indefinite Σx then NaNs the log-det; floored like every other
+        # variance in the repo (the reference's unfinished Ozerov has no
+        # guard, ``mnmf.py:360``)
+        sigma_b = floor_below(
+            jnp.diagonal(
+                R_xx - A_new @ R_xs_h - R_xs @ A_newh + A_new @ R_ss @ A_newh,
+                axis1=-2,
+                axis2=-1,
+            ).real,
+            self.eps,
+        )
+        # documented divergence: the reference's unfinished Ozerov M step
+        # divides by UNFLOORED W/H (``mnmf.py:361``); on real mixtures in
+        # float32 the unfloored division feeds a W↓/H↑ scale runaway that
+        # overflows within a few iterations (reproduced with the reference
+        # math) — the eps floor below matches the flooring the reference
+        # applies everywhere else and is a no-op on healthy trajectories
+        W_new = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        (U_p[s][k] / floor_below(H[s, k], self.eps)[None, :]).mean(
+                            axis=-1
+                        )
+                        for k in range(K)
+                    ],
+                    axis=-1,
+                )
+                for s in range(S)
+            ]
+        )  # (S, F, K)
+        # documented divergence: the reference updates H from the OLD W
+        # (simultaneous update, ``mnmf.py:361``), which is not a valid
+        # (generalized) M step — on real mixtures the NLL increases from the
+        # first iteration and the factors run away.  Updating H from the NEW
+        # W makes both halves exact coordinate minimizers of the M-step
+        # objective Σ [U/σ_c + log σ_c], restoring monotone descent.
+        H_new = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        (
+                            U_p[s][k]
+                            / floor_below(W_new[s, :, k], self.eps)[:, None]
+                        ).mean(axis=0)
+                        for k in range(K)
+                    ]
+                )
+                for s in range(S)
+            ]
+        )  # (S, K, T)
 
         if self.normalize:
+            # documented divergence: the reference compensates the steering
+            # normalization ``a_s → a_s/λ_s`` by DIVIDING W by λ (and its λ
+            # is a scalar over ALL bins/sources — ``np.sum(..)`` with no
+            # axis, ``mnmf.py:365``); the model term ``σ_s a_s a_s^H`` is
+            # invariant only under ``W → W·λ²`` per (bin, source) — without
+            # that the normalization changes the model and the NLL jumps
+            # at every iteration
             scale = jnp.sqrt(jnp.sum(jnp.abs(A_new) ** 2, axis=1, keepdims=True))
             A_new = A_new / scale.astype(A_new.dtype)
-            W_new = W_new / jnp.transpose(scale, (2, 0, 1))
+            W_new = W_new * jnp.transpose(scale, (2, 0, 1)) ** 2
             wsum = W_new.sum(axis=1)
             W_new = W_new / wsum[:, None, :]
             H_new = H_new * wsum[:, :, None]
@@ -371,27 +639,25 @@ class MultichannelISNMF(MultichannelNMFBase):
     def _nll_ozerov(self, state):
         """Correct Gaussian NLL ``x^H Σx⁻¹ x + log det Σx`` (the reference
         computes ``tr(xx^H Σx)``, ``mnmf.py:531`` — documented divergence)."""
-        X = state["input"]
-        xc = jnp.transpose(X, (1, 2, 0))
-        Sigma_x, _ = self._sigma_x(state)
-        solve_x = jnp.einsum("ftcd,ftd->ftc", batched_inv(Sigma_x), xc)
-        quad = jnp.einsum("ftc,ftc->ft", xc.conj(), solve_x).real
-        logdet = jnp.log(jnp.abs(batched_det(Sigma_x)))
+        from ..ops.fast_linalg import det_planes
+
+        X = state["input"]  # (C, F, T)
+        C = self.n_channels
+        Sx_p, _ = self._sigma_planes(state)
+        inv_p = inv_planes(Sx_p)
+        quad = sum(
+            (X[c].conj() * sum(inv_p[c, d] * X[d] for d in range(C))).real
+            for c in range(C)
+        )
+        logdet = jnp.log(jnp.abs(det_planes(Sx_p)))
         return (quad + logdet).sum()
 
     def _separate_ozerov(self, state):
         """Posterior mean of the sources (``mnmf.py:585-617``; the reference's
         duplicated ``A_sigma_s`` factor at ``:607`` is fixed here)."""
-        X = state["input"]
-        A = state["mix_filter"]
-        xc = jnp.transpose(X, (1, 2, 0))
-        A_h = jnp.swapaxes(A, -2, -1).conj()
-        Sigma_x, sigma_s = self._sigma_x(state)
-        inv_Sigma_x = batched_inv(Sigma_x)
-        AhS = jnp.einsum("fsc,ftcd->ftsd", A_h, inv_Sigma_x)
-        G_s = sigma_s[..., None].astype(A.dtype) * AhS
-        s = jnp.einsum("ftsc,ftc->fts", G_s, xc)
-        return jnp.transpose(s, (2, 0, 1))
+        Sx_p, sigma_s = self._sigma_planes(state)
+        _, _, s_post = self._posterior_planes(state, Sx_p, sigma_s)
+        return s_post  # (S, F, T)
 
     # ------------------------------------------------------------------ #
     def update_state(self, state):

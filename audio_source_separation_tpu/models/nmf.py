@@ -30,11 +30,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..algorithm.linalg import solve_riccati
-from ..criterion.divergence import (
-    generalized_kl_divergence,
-    is_divergence,
-    multichannel_is_divergence,
+from ..ops.fast_linalg import (
+    add_diag_planes,
+    det_planes,
+    inv_planes,
+    matmul_planes,
+    trace_planes,
 )
+from ..criterion.divergence import generalized_kl_divergence, is_divergence
 from ..runtime.solver import IterativeSolver
 
 EPS = 1e-12
@@ -418,57 +421,120 @@ class MultichannelISNMF(IterativeSolver):
         return state_kwargs
 
     def init_state(self, target, spatial=None, basis=None, activation=None):
+        # planes layout (tiny channel axes LEADING): a materialized
+        # (F, T, C, C) array pads its C = 2-3 minors to the TPU tile at up to
+        # ~256x the payload's HBM traffic; all per-iteration statistics below
+        # are unrolled full-tile plane passes instead
+        C = target.shape[-1]
+        target_planes = jnp.stack(
+            [
+                jnp.stack([target[..., c, d] for d in range(C)])
+                for c in range(C)
+            ]
+        )  # (C, C, F, T)
         return {
-            "target": target,
+            "target_planes": target_planes,
             "spatial": spatial,
             "basis": basis,
             "activation": activation,
         }
 
-    def reconstruct(self, state):
+    def _xhat_planes(self, state):
+        """``X̂ = Σ_k H_k T_k V_k`` as planes ``(C, C, F, T)``."""
         H, T, V = state["spatial"], state["basis"], state["activation"]
-        TV = T[:, :, None] * V[None, :, :]  # (F, K, T)
-        return jnp.einsum("fkcd,fkt->ftcd", H, TV.astype(H.dtype))
+        C = H.shape[-1]
+        K = H.shape[1]
+        TV = (T[:, :, None] * V[None, :, :]).astype(H.dtype)  # (F, K, T)
+        return jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        sum(H[:, k, c, d][:, None] * TV[:, k] for k in range(K))
+                        for d in range(C)
+                    ]
+                )
+                for c in range(C)
+            ]
+        )
 
-    def _inv_xhat(self, state):
-        n_channels = state["target"].shape[-1]
-        X_hat = self.reconstruct(state)
-        eye = jnp.eye(n_channels, dtype=X_hat.dtype)
-        return jnp.linalg.inv(X_hat + self.eps * eye)
+    def _inv_xhat_planes(self, state):
+        Xh = self._xhat_planes(state)
+        return inv_planes(add_diag_planes(Xh, jnp.full(Xh.shape[2:], self.eps)))
+
+    def _trace_planes_stats(self, state):
+        """``tr(X̂⁻¹XX̂⁻¹ H_k)`` and ``tr(X̂⁻¹ H_k)`` as per-basis planes
+        ``(K, F, T)`` reals."""
+        H = state["spatial"]
+        C, K = H.shape[-1], H.shape[1]
+        inv = self._inv_xhat_planes(state)
+        XXX = matmul_planes(
+            matmul_planes(inv, state["target_planes"]), inv
+        )
+
+        def traces(P):
+            return [
+                sum(
+                    (P[c, d] * H[:, k, d, c][:, None]).real
+                    for c in range(C)
+                    for d in range(C)
+                )
+                for k in range(K)
+            ]
+
+        return traces(XXX), traces(inv)
 
     def update_state(self, state):
         eps = self.eps
-        X = state["target"]
-        n_channels = X.shape[-1]
+        n_channels = state["target_planes"].shape[0]
         eye = jnp.eye(n_channels)
 
         # --- basis ---
         H, T, V = state["spatial"], state["basis"], state["activation"]
-        inv_X_hat = self._inv_xhat(state)
-        XXX = inv_X_hat @ X @ inv_X_hat
-        num = jnp.einsum("ftcd,fkdc->fkt", XXX, H).real
-        num = jnp.sum(V[None] * num, axis=2)
-        den = jnp.einsum("ftcd,fkdc->fkt", inv_X_hat, H).real
-        den = jnp.maximum(jnp.sum(V[None] * den, axis=2), eps)
-        T = T * jnp.sqrt(num / den)
+        K = H.shape[1]
+        tn, td = self._trace_planes_stats(state)
+        num = jnp.stack([(V[k][None] * tn[k]).sum(axis=-1) for k in range(K)], -1)
+        den = jnp.stack([(V[k][None] * td[k]).sum(axis=-1) for k in range(K)], -1)
+        T = T * jnp.sqrt(num / jnp.maximum(den, eps))
         state = dict(state, basis=T)
 
         # --- activation ---
-        inv_X_hat = self._inv_xhat(state)
-        XXX = inv_X_hat @ X @ inv_X_hat
-        num = jnp.einsum("ftcd,fkdc->fkt", XXX, H).real
-        num = jnp.sum(T[:, :, None] * num, axis=0)
-        den = jnp.einsum("ftcd,fkdc->fkt", inv_X_hat, H).real
-        den = jnp.maximum(jnp.sum(T[:, :, None] * den, axis=0), eps)
-        V = V * jnp.sqrt(num / den)
+        tn, td = self._trace_planes_stats(state)
+        num = jnp.stack([(T[:, k][:, None] * tn[k]).sum(axis=0) for k in range(K)])
+        den = jnp.stack([(T[:, k][:, None] * td[k]).sum(axis=0) for k in range(K)])
+        V = V * jnp.sqrt(num / jnp.maximum(den, eps))
         state = dict(state, activation=V)
 
-        # --- spatial (Riccati) ---
-        inv_X_hat = self._inv_xhat(state)
-        XXX = inv_X_hat @ X @ inv_X_hat
-        Vr = V[None, :, :, None, None].astype(XXX.dtype)
-        VXXX = jnp.sum(Vr * XXX[:, None], axis=2)  # (F, K, C, C)
-        A = jnp.sum(Vr * inv_X_hat[:, None], axis=2)  # (F, K, C, C)
+        # --- spatial (Riccati): frame contractions are per-entry plane
+        # reductions; the solve runs on the small (F, K, C, C) results ---
+        inv = self._inv_xhat_planes(state)
+        XXX = matmul_planes(
+            matmul_planes(inv, state["target_planes"]), inv
+        )
+        Vc = V.astype(H.dtype)
+
+        def contract_t(P):
+            return jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    (Vc[k][None] * P[c, d]).sum(axis=-1)
+                                    for d in range(n_channels)
+                                ],
+                                axis=-1,
+                            )
+                            for c in range(n_channels)
+                        ],
+                        axis=-2,
+                    )
+                    for k in range(K)
+                ],
+                axis=1,
+            )  # (F, K, C, C)
+
+        VXXX = contract_t(XXX)
+        A = contract_t(inv)
         B = H @ VXXX @ H
         H = solve_riccati(A, B)
         H = H + eps * eye
@@ -478,9 +544,16 @@ class MultichannelISNMF(IterativeSolver):
         return dict(state, spatial=H)
 
     def nll(self, state):
-        return multichannel_is_divergence(
-            self.reconstruct(state), state["target"], eps=self.eps
-        ).sum()
+        """Multichannel IS divergence (``criterion/divergence.py:63-81``
+        semantics) in planes layout."""
+        eps = self.eps
+        ridge = jnp.full(state["target_planes"].shape[2:], eps)
+        Xp = add_diag_planes(state["target_planes"], ridge)
+        Xh = add_diag_planes(self._xhat_planes(state), ridge)
+        XX = matmul_planes(Xp, inv_planes(Xh))
+        trace = trace_planes(XX)
+        logdet = jnp.log(det_planes(XX).real)
+        return (trace - logdet - Xp.shape[0]).sum()
 
     def finalize(self, state):
         return state["spatial"], state["basis"], state["activation"]

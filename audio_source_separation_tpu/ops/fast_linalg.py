@@ -249,6 +249,64 @@ def hermitian_eigvalsh_planes(P):
     )
 
 
+def matmul_planes(A, B):
+    """Matrix product from planes ``A, B (n, n, ...) → (n, n, ...)`` —
+    unrolled multiply-adds over fully-tiled entry planes."""
+    n = A.shape[0]
+    return jnp.stack(
+        [
+            jnp.stack(
+                [sum(A[i, k] * B[k, j] for k in range(n)) for j in range(n)]
+            )
+            for i in range(n)
+        ]
+    )
+
+
+def herm_planes(P):
+    """Hermitian-symmetrize planes ``P (n, n, ...)``."""
+    return (P + jnp.swapaxes(P, 0, 1).conj()) / 2
+
+
+def add_diag_planes(P, s):
+    """Add the real plane ``s (...)`` to the diagonal planes of ``P (n, n, ...)``."""
+    n = P.shape[0]
+    eye = jnp.eye(n, dtype=P.dtype).reshape((n, n) + (1,) * (P.ndim - 2))
+    return P + eye * s[None, None].astype(P.dtype)
+
+
+def trace_planes(P):
+    """Real trace of planes ``P (n, n, ...) → (...)``."""
+    n = P.shape[0]
+    tr = P[0, 0].real
+    for i in range(1, n):
+        tr = tr + P[i, i].real
+    return tr
+
+
+def psd_parts_planes(P, eps=1e-12):
+    """Planes dual of the reference ``to_PSD`` chain: returns
+    ``(to_psd(P), eigenvalues-of-the-projection)`` — hermitize, shift by the
+    most negative eigenvalue, add the ``eps·trace`` identity ridge
+    (``utils/utils_linalg.py:9-31`` semantics)."""
+    H = herm_planes(P)
+    w = hermitian_eigvalsh_planes(H)  # (n, ...)
+    delta = jnp.minimum(jnp.min(w, axis=0), 0)
+    shift = eps * trace_planes(H) - delta
+    return add_diag_planes(H, shift), w + shift[None]
+
+
+def psd_inv_planes(R, eps=1e-12, psd=True):
+    """Adjugate inverse of planes, with the reference's trailing
+    ``to_psd(inv)`` ridge when ``psd=True`` (the input is already PSD, so the
+    shift reduces to ``eps·trace``)."""
+    inv = inv_planes(R)
+    if psd:
+        inv = herm_planes(inv)
+        inv = add_diag_planes(inv, eps * trace_planes(inv))
+    return inv
+
+
 def batched_log_abs_det(A):
     """``log |det A|`` for batched matrices, closed form for n ≤ 3."""
     n = A.shape[-1]

@@ -80,6 +80,26 @@ def test_ozerov_mnmf_runs_and_loss_decreases(rng):
     assert Y.shape == X.shape
 
 
+def test_ozerov_mnmf_monotone_on_quiet_mixture(rng):
+    """Regression lock for the Ozerov EM fixes (likelihood-preserving W·λ²
+    normalization, sequential M step, floored divisions/noise diagonal,
+    data-scaled init): on a QUIET mixture (|x|² ~ 1e-5, real-world scale) the
+    reference's formulation increases the NLL from the first iteration and
+    overflows within ~5; the fixed EM must decrease monotonically."""
+    mixture, _ = synth_convolutive_mixture(rng, n_sources=2, n_samples=4000)
+    mixture = mixture * 1e-2  # quiet, real-world-recording scale
+    X = np.asarray(stft(mixture, fft_size=128, hop_size=64))
+    np.random.seed(111)
+    with pytest.warns(UserWarning):
+        solver = MultichannelISNMF(n_basis=2, author="Ozerov")
+    Y = solver(X, iteration=20)
+    losses = np.asarray(solver.loss)
+    assert np.isfinite(losses).all(), losses
+    diffs = np.diff(losses)
+    assert (diffs <= np.abs(losses[0]) * 1e-9).all(), losses
+    assert np.isfinite(np.asarray(Y)).all()
+
+
 def test_fastmnmf_loss_decreases(rng):
     mixture, _ = synth_convolutive_mixture(rng, n_sources=2, n_samples=8000)
     X = np.asarray(stft(mixture, fft_size=256, hop_size=128))

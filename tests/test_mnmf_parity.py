@@ -124,7 +124,9 @@ def test_sawada_update_matches_reference_math(rng):
     state = solver.init_state(
         jnp.asarray(X), **{k: jnp.asarray(v) for k, v in kwargs.items()}
     )
-    Xcov = np.asarray(state["covariance_input"])
+    # observed covariance (the framework stores compact Hermitian planes)
+    xc = X.transpose(1, 2, 0)  # (F, T, C)
+    Xcov = xc[..., :, None] * xc[..., None, :].conj()
     H0 = np.asarray(kwargs["spatial"]).transpose(0, 1, 2, 3)  # (F,S,C,C)
     Z0 = np.asarray(kwargs["latent"])
     T0 = np.asarray(kwargs["basis"])
