@@ -124,6 +124,7 @@ class IVABase(IterativeSolver):
         return {
             "input": {"bins": 1, "frames": 2},
             "demix_filter": {"bins": 0},
+            "demix_components": {"bins": 2},
             "estimation": {"bins": 1, "frames": 2},
             "pair_products": {"bins": 1, "frames": 2},
         }
@@ -308,11 +309,27 @@ class AuxIVABase(IVABase):
     def _is_pairwise(self):
         return self.algorithm_spatial in ("pairwise", "IP2")
 
+    def _component_filter_mode(self, n_channels):
+        """Whether the scan carries the demixing rows as components
+        ``(N, C, F)`` instead of ``(F, N, C)``: the matrix layout's tiny
+        trailing dims pad to the (8 × 128) TPU tile, so just carrying W
+        through the scan costs ~250× its payload in HBM traffic per
+        iteration."""
+        return (
+            self.algorithm_spatial in ("IP", "IP1", "IVA")
+            and self.use_pair_products
+            and self.guard in ("one_norm", "none")
+            and n_channels <= 4
+        )
+
     def init_state(self, X, demix_filter=None, estimation=None):
         state = super().init_state(X, demix_filter=demix_filter, estimation=estimation)
         if self._is_iss:
             # ISS never materializes W during iterations (``bss/iva.py:356-360``)
             del state["demix_filter"]
+        elif self._component_filter_mode(X.shape[0]):
+            W = state.pop("demix_filter")
+            state["demix_components"] = jnp.transpose(W, (1, 2, 0))
         if self._is_pairwise:
             state["step_count"] = jnp.zeros((), dtype=jnp.int32)
         return state
@@ -335,6 +352,33 @@ class AuxIVABase(IVABase):
     def _update_ip(self, state):
         X, Y = state["input"], state["estimation"]
         R = floor_below(self.source_weights(Y), self.eps)  # (N, T)
+        if "demix_components" in state:
+            # fully component-layout iteration: covariance GEMM → IP row
+            # sweep → separation without ever materializing (F, N, C)
+            from ..ops.ip_components import (
+                ip_update_components,
+                separate_components,
+                weighted_covariance_components,
+            )
+
+            Wc = state["demix_components"]  # (N, C, F)
+            n_sources, n_channels = Wc.shape[0], Wc.shape[1]
+            W_rows = [
+                [Wc[s, c] for c in range(n_channels)] for s in range(n_sources)
+            ]
+            U = weighted_covariance_components(
+                state["pair_products"], 1.0 / R, flatten=self._covariance_flatten()
+            )
+            W_rows = ip_update_components(
+                W_rows, U, threshold=self.threshold, guard=self.guard
+            )
+            return dict(
+                state,
+                demix_components=jnp.stack(
+                    [jnp.stack(row) for row in W_rows]
+                ),
+                estimation=separate_components(W_rows, X),
+            )
         W = self._ip_sweep(state, 1.0 / R)
         return dict(state, demix_filter=W, estimation=self.separate(X, W))
 
@@ -393,9 +437,25 @@ class AuxIVABase(IVABase):
         )
 
     def _materialized_filter(self, state):
+        if "demix_components" in state:
+            return jnp.transpose(state["demix_components"], (2, 0, 1))
         if "demix_filter" in state:
             return state["demix_filter"]
         return self.compute_demix_filter(state["estimation"], state["input"])
+
+    def _log_abs_det_filter(self, state):
+        """``log|det W_f| (F,)`` without materializing the matrix layout in
+        component mode."""
+        if "demix_components" in state:
+            from ..ops.ip_components import det_components
+
+            Wc = state["demix_components"]
+            M = [
+                [Wc[i, j] for j in range(Wc.shape[1])]
+                for i in range(Wc.shape[0])
+            ]
+            return jnp.log(jnp.abs(det_components(M, Wc.shape[0])))
+        return batched_log_abs_det(self._materialized_filter(state))
 
     def finalize(self, state):
         X = state["input"]
@@ -408,6 +468,11 @@ class AuxIVABase(IVABase):
 
     def _sync_attributes(self, state_packed):
         host_state = super()._sync_attributes(state_packed)
+        if "demix_components" in host_state:
+            # public attribute keeps the reference layout (F, N, C)
+            self.demix_filter = np.transpose(
+                host_state["demix_components"], (2, 0, 1)
+            )
         if self._is_iss:
             # the reference materializes W for callbacks (``bss/iva.py:407-418``)
             if self.callbacks is not None:
@@ -436,12 +501,11 @@ class AuxLaplaceIVA(AuxIVABase):
 
     def nll(self, state):
         X = state["input"]
-        W = self._materialized_filter(state)
         Y = state["estimation"]  # == separate(X, W) for non-ISS (invariant)
         n_frames = X.shape[-1]
         P = jnp.sum(jnp.abs(Y) ** 2, axis=1)
         R = 2 * jnp.sqrt(P)
-        return R.sum() - 2 * n_frames * batched_log_abs_det(W).sum()
+        return R.sum() - 2 * n_frames * self._log_abs_det_filter(state).sum()
 
     def supports_bin_padding(self):
         """Zero bins are exactly neutral for the Laplace-AuxIVA IP paths:
@@ -474,14 +538,13 @@ class AuxGaussIVA(AuxIVABase):
 
     def nll(self, state):
         X = state["input"]
-        W = self._materialized_filter(state)
         Y = state["estimation"]  # == separate(X, W) for non-ISS (invariant)
         n_bins, n_frames = X.shape[1], X.shape[2]
         P = jnp.abs(Y) ** 2
         R = floor_below(P.mean(axis=1), self.eps)
-        return n_bins * jnp.sum(jnp.log(R)) - 2 * n_frames * jnp.log(
-            jnp.abs(jnp.linalg.det(W))
-        ).sum()
+        return n_bins * jnp.sum(jnp.log(R)) - 2 * n_frames * (
+            self._log_abs_det_filter(state).sum()
+        )
 
     def __repr__(self):
         return "AuxGaussIVA(algorithm_spatial={})".format(self.algorithm_spatial)

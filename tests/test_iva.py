@@ -61,7 +61,7 @@ def test_auxiva_ip_step_parity(rng):
     new_state = solver.update_state(state)
     W_expected = numpy_auxiva_ip_step(X, np.tile(np.eye(3, dtype=X.dtype), (11, 1, 1)))
     np.testing.assert_allclose(
-        np.asarray(new_state["demix_filter"]), W_expected, atol=1e-10
+        np.asarray(solver._materialized_filter(new_state)), W_expected, atol=1e-10
     )
 
 
@@ -74,7 +74,7 @@ def test_auxiva_gauss_ip_step_parity(rng):
         X, np.tile(np.eye(2, dtype=X.dtype), (9, 1, 1)), contrast="gauss"
     )
     np.testing.assert_allclose(
-        np.asarray(new_state["demix_filter"]), W_expected, atol=1e-10
+        np.asarray(solver._materialized_filter(new_state)), W_expected, atol=1e-10
     )
 
 
