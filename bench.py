@@ -160,9 +160,11 @@ def bench_jax(X):
         return jnp.stack([W.real, W.imag]), nlls
 
     # two scan lengths; the fixed per-call tunnel dispatch (~7-9 ms) cancels
-    # in the difference (see module docstring).  jax.device_get is the only
-    # reliable completion barrier on this backend.
-    short, long_ = ITERS, 10 * ITERS
+    # in the difference (see module docstring).  The long scan is sized so
+    # the differenced device time is ~20+ ms — well above the tunnel's
+    # ±1-2 ms per-call jitter.  jax.device_get is the only reliable
+    # completion barrier on this backend.
+    short, long_ = ITERS, 30 * ITERS
 
     @jax.jit
     def run_long(X2, W2):

@@ -79,6 +79,7 @@ def main():
         ("ConsistentILRMA (K=4)", 50, lambda: ConsistentGaussILRMA(n_basis=4, fft_size=fft_size, hop_size=hop, recordable_loss=False)),
         ("FastMNMF (K=4)", 50, lambda: FastMultichannelISNMF(n_basis=4, recordable_loss=False)),
         ("Sawada MNMF (K=4)", 30, lambda: MultichannelISNMF(n_basis=4, recordable_loss=False)),
+        ("Ozerov MNMF (K=4)", 50, lambda: MultichannelISNMF(n_basis=4, author="Ozerov", recordable_loss=False)),
         ("NatGradFDICA", 100, lambda: NaturalGradLaplaceFDICA(recordable_loss=False)),
         ("ProxLaplaceIVA", 100, lambda: ProxLaplaceIVA(recordable_loss=False)),
         ("GaussIPSDTA Kondo (K=2)", 20, lambda: GaussIPSDTA(n_basis=2, author="Kondo", n_blocks=256, recordable_loss=False)),
@@ -102,6 +103,33 @@ def main():
         except Exception as exc:  # noqa: BLE001
             print(json.dumps({"solver": name, "error": str(exc)[:200]}), flush=True)
 
+    # Ozerov EM as published: seeded from another separator (the mixing
+    # estimate A = W⁻¹ of a short AuxIVA run) and evaluated as the source
+    # IMAGE at the reference mic (a_ref,s · ŝ_s — the same convention every
+    # other row uses; the posterior source ŝ itself differs from the image
+    # by the per-bin steering filter, which SI-SDR penalizes)
+    try:
+        name, iters = "Ozerov MNMF (AuxIVA-seeded, ref-mic image)", 50
+        from audio_source_separation_tpu.models import AuxLaplaceIVA
+
+        iva = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)
+        iva(X, iteration=20)
+        A0 = np.linalg.inv(np.asarray(iva.demix_filter))  # (F, C, S)
+        np.random.seed(111)
+        solver = MultichannelISNMF(n_basis=4, author="Ozerov", recordable_loss=False)
+        Y = np.asarray(solver(X, iteration=iters, mix_filter=A0))
+        A = np.asarray(solver.mix_filter)
+        Y = Y * A[:, 0, :].T[:, :, None]
+        y = np.asarray(
+            asst.istft(Y, fft_size=fft_size, hop_size=hop, length=mixture.shape[-1])
+        )
+        sdri = si_sdr_improvement(y, mixture[0], images)
+        rows.append((name, iters, sdri))
+        print(json.dumps({"solver": name, "iterations": iters,
+                          "si_sdr_improvement_db": round(float(sdri), 2)}), flush=True)
+    except Exception as exc:  # noqa: BLE001
+        print(json.dumps({"solver": name, "error": str(exc)[:200]}), flush=True)
+
     lines = [
         "# Separation quality (SI-SDR improvement)",
         "",
@@ -119,6 +147,28 @@ def main():
     ]
     for name, iters, sdri in rows:
         lines.append("| {} | {} | {:+.2f} |".format(name, iters, sdri))
+    lines += [
+        "",
+        "Notes:",
+        "- Sawada MNMF (full-rank spatial covariances from identity init) is known to",
+        "  converge very slowly — the CPU float64 run gives the same +0.0 dB at 30",
+        "  iterations; the reference's own examples run it for hundreds of iterations",
+        "  or seed it from ILRMA.",
+        "- Ozerov MNMF follows the reference's output convention (posterior source",
+        "  ŝ, not its image at a mic) and random mixing init; EM from random init",
+        "  does not separate this fixture and SI-SDR additionally penalizes the",
+        "  per-bin steering filter between ŝ and the image target.  The",
+        "  'AuxIVA-seeded, ref-mic image' row is the published usage pattern (seed",
+        "  A = W⁻¹ from a cheap separator, evaluate a_ref·ŝ) on the SAME fixed EM.",
+        "- ProxLaplaceIVA's negative dB is reproduced exactly on CPU float64: the PDS",
+        "  method is step-size/regularizer sensitive and the defaults do not suit this",
+        "  fixture; it is included as the hardware-numerics check, not as a tuned",
+        "  result.",
+        "- This table doubles as the HARDWARE validation sweep: it caught TPU's",
+        "  default bf16 matmul precision NaN'ing the IPSDTA block chains and the",
+        "  batched-LU inverse kernel faulting on the Sawada (F,T,C,C) batches (both",
+        "  fixed — see models/ipsdta.py, ops/fast_linalg.py).",
+    ]
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "QUALITY.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

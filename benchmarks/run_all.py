@@ -94,14 +94,18 @@ def bench_dp_throughput(batch=16, n_iter=30):
 
 def main():
     X = make_input()
+    # scan lengths sized so the DIFFERENCED device time (long − short) is
+    # tens of ms — well above the shared tunnel's ±1-2 ms per-call jitter;
+    # 30-iteration scans on the >5k iters/s solvers measured the jitter
     configs = [
-        ("AuxIVA-IP", 30, lambda: AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)),
-        ("AuxIVA-ISS", 30, lambda: AuxLaplaceIVA(algorithm_spatial="ISS", recordable_loss=False)),
-        ("GaussILRMA (K=10)", 30, lambda: GaussILRMA(n_basis=10, recordable_loss=False)),
-        ("tILRMA (K=10)", 30, lambda: TILRMA(n_basis=10, nu=1000, recordable_loss=False)),
-        ("FastMNMF (K=10)", 30, lambda: FastMultichannelISNMF(n_basis=10, recordable_loss=False)),
-        ("Sawada MNMF (K=10)", 10, lambda: MultichannelISNMF(n_basis=10, recordable_loss=False)),
-        ("NatGradFDICA", 30, lambda: NaturalGradLaplaceFDICA(recordable_loss=False)),
+        ("AuxIVA-IP", 400, lambda: AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)),
+        ("AuxIVA-ISS", 400, lambda: AuxLaplaceIVA(algorithm_spatial="ISS", recordable_loss=False)),
+        ("GaussILRMA (K=10)", 300, lambda: GaussILRMA(n_basis=10, recordable_loss=False)),
+        ("tILRMA (K=10)", 300, lambda: TILRMA(n_basis=10, nu=1000, recordable_loss=False)),
+        ("FastMNMF (K=10)", 100, lambda: FastMultichannelISNMF(n_basis=10, recordable_loss=False)),
+        ("Sawada MNMF (K=10)", 100, lambda: MultichannelISNMF(n_basis=10, recordable_loss=False)),
+        ("Ozerov MNMF (K=10)", 50, lambda: MultichannelISNMF(n_basis=10, author="Ozerov", recordable_loss=False)),
+        ("NatGradFDICA", 150, lambda: NaturalGradLaplaceFDICA(recordable_loss=False)),
         ("GaussIPSDTA Kondo (K=2)", 5, lambda: GaussIPSDTA(n_basis=2, author="Kondo", recordable_loss=False)),
         ("GaussIPSDTA Ikeshita (K=2)", 5, lambda: GaussIPSDTA(n_basis=2, author="Ikeshita", recordable_loss=False)),
         ("tIPSDTA Kondo (K=2)", 5, lambda: TIPSDTA(n_basis=2, nu=1000, recordable_loss=False)),
@@ -140,7 +144,27 @@ def main():
         "`runtime/profiling.py`.  `bench.py`'s headline uses the same",
         "differencing on the raw component-layout kernel.  (Round-1 numbers",
         "divided one call's time by 30 iterations and were dominated by the",
-        "dispatch: they understate the chip ~4-10x.)",
+        "dispatch: they understate the chip ~4-10x.)  Scan lengths are sized",
+        "so the differenced device time is tens of ms: the tunnel adds",
+        "±1-2 ms of per-call jitter, which at 30-iteration scans swung the",
+        ">5k iters/s rows by up to ±2x run-to-run (observed both ways).",
+        "",
+        "The dominant optimization across the heavy families is the PLANES",
+        "LAYOUT: every per-bin/per-block small matrix keeps its tiny",
+        "(C, B <= 3) axes LEADING and the (bins/frames) axes in the TPU tile",
+        "— a materialized (F, T, 2, 2) array pads its minors to the 8x128",
+        "tile at ~256x the payload's HBM traffic per read.  Round-over-round",
+        "(same hardware): Sawada MNMF 5.6 -> 1166 iters/s (208x), Ozerov EM",
+        "152 -> 475, IPSDTA Kondo 0.19 -> 16.6 -> 84.6 (445x vs round 1),",
+        "tIPSDTA (compile-failed in round 1) -> 14.7 -> 69.7, Ikeshita",
+        "0.23 -> 75.6.  Further IPSDTA levers: closed-form block",
+        "eigenvalues/adjugate inverses, fused to_PSD/inv/sqrt chains,",
+        "trace-cyclic re-derivations that never build rank-6 tensors,",
+        "unrolled small matmuls, hoisted VCD sweep invariants.  IPSDTA",
+        "forces float32 matmul precision (TPU's default bf16 NaNs the",
+        "block-PSD chains; ~15% cost).  lax.scan CARRIES are exempt from",
+        "the planes rule — XLA assigns compact carry layouts (measured",
+        "neutral on AuxIVA).",
         "",
         "| Solver | iters/s | compile + first exec (s) |",
         "|---|---|---|",
