@@ -211,3 +211,53 @@ def test_pad_bins_unsupported_raises(rng):
     solver.use_mesh(_mesh_1d(8), mode="bins", pad_bins=True)
     with pytest.raises(ValueError, match="does not support"):
         solver(X, iteration=1)
+
+
+# --------------------------------------------------------------------------- #
+# collective-pattern assertions (compiled HLO inspection)
+# --------------------------------------------------------------------------- #
+def _compiled_step_hlo(solver, X):
+    """Compile the solver's sharded update step exactly as the runtime does
+    and return the optimized HLO text."""
+    from audio_source_separation_tpu.ops.packing import pack
+
+    solver.set_shape_metadata(X)
+    kwargs = solver.prepare_state_kwargs(X, {})
+    Xp = pack(np.asarray(X))
+    kwargs_p = pack({k: np.asarray(v) for k, v in kwargs.items()})
+    state_shapes = jax.eval_shape(solver._init_fn(), Xp, kwargs_p)
+    state_sh = solver._sharding_tree(state_shapes)
+    init = jax.jit(solver._init_fn(), out_shardings=state_sh)
+    state = init(Xp, kwargs_p)
+    step = jax.jit(
+        solver._step_fn(), in_shardings=(state_sh,), out_shardings=state_sh
+    )
+    return step.lower(state).compile().as_text()
+
+
+def test_bins_sharded_auxiva_collective_pattern(rng):
+    """Bins-sharded AuxIVA: the ONLY cross-device traffic in an iteration is
+    the all-reduce for the cross-bin frame weights ``R = √(Σ_f |Y_f|²)`` —
+    per-bin covariance/IP/separation must stay collective-free, and nothing
+    may gather the sharded state."""
+    X = _canonical_mixture(rng, n_bins=64, n_frames=32)
+    solver = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)
+    solver.use_mesh(_mesh_1d(8), mode="bins")
+    hlo = _compiled_step_hlo(solver, X)
+    n_all_reduce = hlo.count(" all-reduce")
+    assert n_all_reduce >= 1, "expected the R-reduction all-reduce"
+    assert n_all_reduce <= 4, "unexpected extra collectives:\n" + hlo[:2000]
+    assert " all-gather" not in hlo, "sharded state was gathered"
+    assert " all-to-all" not in hlo, "unexpected resharding"
+
+
+def test_frames_sharded_auxiva_collective_pattern(rng):
+    """Frames-sharded AuxIVA (the sequence-parallel analogue): covariance
+    accumulations over frames become all-reduces; the frame-sharded
+    estimates must never be gathered."""
+    X = _canonical_mixture(rng, n_bins=32, n_frames=64)
+    solver = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)
+    solver.use_mesh(_mesh_1d(8), mode="frames")
+    hlo = _compiled_step_hlo(solver, X)
+    assert hlo.count(" all-reduce") >= 1, "expected covariance psum"
+    assert " all-gather" not in hlo, "frame-sharded state was gathered"
