@@ -103,6 +103,30 @@ def main():
         except Exception as exc:  # noqa: BLE001
             print(json.dumps({"solver": name, "error": str(exc)[:200]}), flush=True)
 
+    # overdetermined path: 4 mics → 2 sources via per-bin PCA reduction +
+    # AuxIVA + projection back onto the unreduced mixture (the reference's
+    # working overdetermined recipe, ``bss/iva.py:1092-1102``)
+    try:
+        name, iters = "OverAuxIVA (4 mics → 2 src)", 50
+        from audio_source_separation_tpu.models import OverAuxLaplaceIVA
+
+        mixture4, images4 = make_fixture(mics=(2, 3, 4, 5))
+        X4 = np.asarray(asst.stft(mixture4, fft_size=fft_size, hop_size=hop))
+        np.random.seed(111)
+        solver = OverAuxLaplaceIVA(
+            algorithm_spatial="IP", n_sources=2, recordable_loss=False
+        )
+        Y = solver(X4, iteration=iters)
+        y = np.asarray(
+            asst.istft(Y, fft_size=fft_size, hop_size=hop, length=mixture4.shape[-1])
+        )
+        sdri = si_sdr_improvement(y, mixture4[0], images4)
+        rows.append((name, iters, sdri))
+        print(json.dumps({"solver": name, "iterations": iters,
+                          "si_sdr_improvement_db": round(float(sdri), 2)}), flush=True)
+    except Exception as exc:  # noqa: BLE001
+        print(json.dumps({"solver": name, "error": str(exc)[:200]}), flush=True)
+
     # Ozerov EM as published: seeded from another separator (the mixing
     # estimate A = W⁻¹ of a short AuxIVA run) and evaluated as the source
     # IMAGE at the reference mic (a_ref,s · ŝ_s — the same convention every
