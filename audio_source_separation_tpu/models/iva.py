@@ -42,6 +42,7 @@ class IVABase(IterativeSolver):
     Mirrors ``IVAbase`` (``bss/iva.py:22-128``)."""
 
     state_fields = ("demix_filter", "estimation")
+    invariant_fields = ("input", "pair_products")
 
     def __init__(self, callbacks=None, recordable_loss=True, eps=EPS):
         super().__init__(callbacks=callbacks, recordable_loss=recordable_loss, eps=eps)
@@ -117,6 +118,30 @@ class IVABase(IterativeSolver):
 
     def _is_iss_like(self):
         return getattr(self, "algorithm_spatial", None) == "ISS"
+
+    def scan_derived_fields(self):
+        """``estimation == separate(input, W)`` is an update invariant for
+        every W-carrying mode, so the scan re-derives it instead of carrying
+        ~15 MB of estimates whose output-pinned layout pessimizes the loop
+        (ISS has no W — there the estimates ARE the state)."""
+        if self._is_iss_like():
+            return ()
+        return ("estimation",)
+
+    def restore_state(self, state):
+        if "estimation" in state or self._is_iss_like():
+            return state
+        X = state["input"]
+        if "demix_components" in state:
+            from ..ops.ip_components import separate_components
+
+            Wc = state["demix_components"]
+            rows = [
+                [Wc[s, c] for c in range(Wc.shape[1])]
+                for s in range(Wc.shape[0])
+            ]
+            return dict(state, estimation=separate_components(rows, X))
+        return dict(state, estimation=self.separate(X, state["demix_filter"]))
 
     def field_axes(self):
         """Shardable axes of the IVA-family state (see

@@ -96,6 +96,7 @@ class MultichannelISNMF(MultichannelNMFBase):
         "mix_filter",
         "noise_covariance",
     )
+    invariant_fields = ("input", "covariance_planes")
 
     def __init__(
         self,

@@ -401,6 +401,7 @@ class MultichannelISNMF(IterativeSolver):
 
     state_fields = ("spatial", "basis", "activation")
     record_initial_loss = False
+    invariant_fields = ("target_planes",)
 
     def __init__(self, n_basis=10, normalize=True, eps=EPS):
         super().__init__(callbacks=None, recordable_loss=True, eps=eps)

@@ -71,12 +71,27 @@ def benchmark_solver(solver, X, iteration=30, warmup=True, short=None):
     def make(n_iter):
         def run(Xp, kwargs_p):
             state = solver.init_state(unpack(Xp), **unpack(kwargs_p))
+            # same invariant/derived split as the solver runtime's scan
+            # (IterativeSolver._scan_fn): loop-invariant state threads into
+            # the body as closed-over tracers, derived state is re-derived
+            # at the body head instead of carried
+            inv = {k: state[k] for k in solver.invariant_fields if k in state}
+            derived = tuple(
+                k for k in solver.scan_derived_fields() if k in state
+            )
+            var = {
+                k: v
+                for k, v in state.items()
+                if k not in inv and k not in derived
+            }
+            var_keys = tuple(var)
 
             def body(s, _):
-                return solver.update_state(s), jnp.zeros(())
+                full = solver.update_state(solver.restore_state(dict(inv, **s)))
+                return {k: full[k] for k in var_keys}, jnp.zeros(())
 
-            state, _ = jax.lax.scan(body, state, None, length=n_iter)
-            return solver.nll(state)
+            var, _ = jax.lax.scan(body, var, None, length=n_iter)
+            return solver.nll(solver.restore_state(dict(inv, **var)))
 
         return jax.jit(run)
 
