@@ -229,9 +229,93 @@ class GaussIDLMA(IDLMABase):
         self.estimation = output
         return output
 
+    def _spatial_and_normalize_components(self, X, planes, W_rows, dnn_output):
+        """Component-layout IP + projection-back normalization.
+
+        The reference normalizes by least-squares-refitting W to the scaled
+        estimates (``idlma.py:154-157``); since ``Y = W X`` exactly, the LS
+        fit of ``scale·Y`` on ``X`` is exactly ``scale·W`` — the per-iteration
+        ``(F, C, C)`` Gram solves collapse to a per-row scale (algebraically
+        identical; fp-level divergence only)."""
+        from ..ops.ip_components import (
+            ip_update_components,
+            separate_components,
+            weighted_covariance_components,
+        )
+
+        domain, eps = self.domain, self.eps
+        R = floor_below(dnn_output ** (2 / domain), eps)  # (S, F, T)
+        U = weighted_covariance_components(planes, 1.0 / R)
+        W_rows = ip_update_components(
+            W_rows, U, threshold=self.threshold, guard=self.guard
+        )
+        Y = separate_components(W_rows, X)
+        scale = projection_back(Y, reference=X[self.reference_id])  # (S, F)
+        Y = Y * scale[..., None]
+        W_rows = [
+            [w_c * scale[s] for w_c in row] for s, row in enumerate(W_rows)
+        ]
+        return W_rows, Y
+
     def _jax_scan_fn(self, iteration):
+        n_channels = self.n_channels
+        components = (
+            self.guard in ("one_norm", "none") and n_channels <= 4
+        )
+
         def run(sp):
             X = unpack(sp["input"])
+
+            if components:
+                from ..ops.ip_components import (
+                    log_abs_det_components,
+                    pair_products_planes,
+                    separate_components,
+                )
+
+                planes = pair_products_planes(X)  # loop-invariant
+                W0 = unpack(sp["demix_filter"])
+                Wc0 = jnp.stack(
+                    [
+                        jnp.stack([W0[:, s, c] for c in range(n_channels)])
+                        for s in range(n_channels)
+                    ]
+                )  # (S, C, F)
+                n_frames = X.shape[-1]
+
+                def body(carry, _):
+                    Wc, dnn_output = carry
+                    rows = [
+                        [Wc[s, c] for c in range(n_channels)]
+                        for s in range(n_channels)
+                    ]
+                    P = jnp.abs(separate_components(rows, X)) ** 2
+                    dnn_output = self._apply_dnn(P)
+                    rows, Y = self._spatial_and_normalize_components(
+                        X, planes, rows, dnn_output
+                    )
+                    R = floor_below(
+                        dnn_output ** (2 / self.domain), self.eps
+                    )
+                    nll = jnp.sum(
+                        jnp.abs(Y) ** 2 / R + jnp.log(R)
+                    ) - 2 * n_frames * jnp.sum(
+                        log_abs_det_components(rows, n_channels)
+                    )
+                    Wc = jnp.stack([jnp.stack(row) for row in rows])
+                    return (Wc, dnn_output), nll
+
+                (Wc, dnn_output), losses = jax.lax.scan(
+                    body,
+                    (Wc0, sp["dnn_output"]),
+                    None,
+                    length=iteration,
+                )
+                W = jnp.transpose(Wc, (2, 0, 1))  # (F, S, C)
+                return (
+                    dict(sp, demix_filter=pack(W), dnn_output=dnn_output),
+                    losses,
+                )
 
             def body(carry, _):
                 W, dnn_output = carry

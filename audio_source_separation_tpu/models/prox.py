@@ -102,6 +102,19 @@ class PDSBSSBase(IterativeSolver):
     def compute_penalty(self, state):
         raise NotImplementedError("Implement `compute_penalty` method in subclass")
 
+    invariant_fields = ("input", "input_normalized")
+    # estimation is written for attribute parity but never read by the PDS
+    # iteration — derive it instead of carrying it through the scan
+    derived_fields = ("estimation",)
+
+    def restore_state(self, state):
+        if "estimation" in state:
+            return state
+        return dict(
+            state,
+            estimation=self.separate(state["input"], state["demix_filter"]),
+        )
+
     def update_state(self, state):
         mu1, mu2 = self.step_prox_logdet, self.step_prox_penalty
         alpha = self.step
