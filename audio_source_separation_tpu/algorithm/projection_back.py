@@ -31,6 +31,44 @@ def projection_back(Y, reference):
             "reference.ndim is expected 2 or 3, but given {}.".format(n_dims)
         )
 
+    n_sources = Y.shape[0]
+    n_channels = X.shape[0]
+    if n_sources <= 3:
+        # planes fast path: the per-bin Gram matrices are N² (F,)-plane
+        # frame reductions and the solve is the closed-form adjugate — no
+        # (N, F, T) ⇄ (F, N, T) layout transposes and no batched
+        # tiny-matmul/LU lowering (this runs per ITERATION in IDLMA and
+        # Consistent-ILRMA, not just at finalize)
+        from ..ops.fast_linalg import inv_planes
+
+        YY = jnp.stack(
+            [
+                jnp.stack(
+                    [(Y[i] * Y[j].conj()).sum(axis=-1) for j in range(n_sources)]
+                )
+                for i in range(n_sources)
+            ]
+        )  # (N, N, F)
+        inv = inv_planes(YY)
+        XY = [
+            [(X[c] * Y[j].conj()).sum(axis=-1) for j in range(n_sources)]
+            for c in range(n_channels)
+        ]
+        A = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        sum(XY[c][k] * inv[k, j] for k in range(n_sources))
+                        for j in range(n_sources)
+                    ]
+                )
+                for c in range(n_channels)
+            ]
+        )  # (C, N, F)
+        if n_dims == 2:
+            return A[0]  # (n_sources, n_bins)
+        return A
+
     Yb = jnp.transpose(Y, (1, 0, 2))  # (n_bins, n_sources, n_frames)
     Xb = jnp.transpose(X, (1, 0, 2))  # (n_bins, n_channels, n_frames)
     Y_hermite = jnp.swapaxes(Yb, -2, -1).conj()  # (n_bins, n_frames, n_sources)
