@@ -49,6 +49,15 @@ def projection_back(Y, reference):
                 for i in range(n_sources)
             ]
         )  # (N, N, F)
+        # ridge the Gram before the adjugate inverse: a silent/duplicated
+        # source or an all-zero bin makes det → 0 (inf/NaN scales); the
+        # relative eps·trace diagonal matches the flooring convention used
+        # by the covariance guards elsewhere and is a ~1e-12 perturbation on
+        # well-conditioned bins (the reference solves unregularized)
+        trace = sum(YY[i, i].real for i in range(n_sources))
+        ridge = (1e-12 * trace + 1e-32).astype(YY.dtype)
+        eye = jnp.eye(n_sources, dtype=YY.dtype)[..., None]
+        YY = YY + eye * ridge
         inv = inv_planes(YY)
         XY = [
             [(X[c] * Y[j].conj()).sum(axis=-1) for j in range(n_sources)]

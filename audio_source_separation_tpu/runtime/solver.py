@@ -281,6 +281,19 @@ class IterativeSolver:
             def body(s, _):
                 full = self.restore_state(dict(inv, **s))
                 full = self.update_state(full)
+                # contract check (trace-time only): declared-invariant fields
+                # are closed over the body, NOT carried — if update_state
+                # returned a new value for one, that change would be silently
+                # discarded every iteration.  dict(state, ...)-style updates
+                # preserve object identity for untouched entries, so identity
+                # is the cheap structural test.
+                for k in inv:
+                    if k in full and full[k] is not inv[k]:
+                        raise ValueError(
+                            "update_state returned a new value for invariant "
+                            "field {!r}; remove it from invariant_fields (it "
+                            "would be dropped from the scan carry)".format(k)
+                        )
                 out = self.nll(full) if record_loss else jnp.zeros(())
                 return {k: full[k] for k in var_keys}, out
 
@@ -291,6 +304,19 @@ class IterativeSolver:
 
     def _sync_attributes(self, state_packed):
         host_state = to_host(state_packed)
+        if getattr(self, "_bin_pad", 0):
+            # published attributes must match the INPUT geometry, not the
+            # padded device shapes: crop every bin-axis field back to the
+            # true bin count (use_mesh pad_bins)
+            axes = self.field_axes()
+            n_true = self._n_bins_true
+            for k, v in host_state.items():
+                ax = (axes.get(k) or {}).get("bins")
+                if ax is None or not hasattr(v, "ndim"):
+                    continue
+                idx = [slice(None)] * v.ndim
+                idx[ax % v.ndim] = slice(0, n_true)
+                host_state[k] = v[tuple(idx)]
         for k, v in host_state.items():
             setattr(self, k, v)
         return host_state
@@ -328,6 +354,7 @@ class IterativeSolver:
         mesh = getattr(self, "_mesh", None)
         self._bin_pad = 0
         n_bins_true = input.shape[1] if input.ndim == 3 else None
+        self._n_bins_true = n_bins_true
         if (
             mesh is not None
             and self._shard_mode == "bins"

