@@ -72,6 +72,21 @@ class IDLMABase(IterativeSolver):
         Y = demix_filter @ X
         return jnp.transpose(Y, (1, 0, 2))
 
+    def field_axes(self):
+        """Shardable axes of the IDLMA state (see
+        :meth:`IterativeSolver.use_mesh`).  The IP spatial update and the
+        projection-back normalization are per-bin; the DNN maps per-frame
+        spectra, so ``mode='frames'`` is the natural parallel axis (the DNN
+        batch dimension shards; covariance/projection ``Σ_t`` become psums).
+        ``mode='bins'`` also runs, but a frequency-mixing DNN then gathers
+        its input — prefer frames for scaling."""
+        return {
+            "input": {"bins": 1, "frames": 2},
+            "demix_filter": {"bins": 0},
+            "dnn_output": {"bins": 1, "frames": 2},
+            "estimation": {"bins": 1, "frames": 2},
+        }
+
 
 class GaussIDLMA(IDLMABase):
     """Gaussian IDLMA (``sss/idlma.py:89-245``)."""
@@ -179,12 +194,43 @@ class GaussIDLMA(IDLMABase):
             "dnn_output": jnp.asarray(dnn_output0),
         }
 
-        nll_fn = self._get_jit("nll", lambda: lambda sp: self.nll(unpack(sp)))
+        # mesh-aware path: explicit shardings on the state dict, mirroring
+        # the IterativeSolver runtime (IDLMA owns its __call__ because of the
+        # host-DNN loop; only the fully-jitted jax_dnn scan shards)
+        mesh = getattr(self, "_mesh", None)
+        state_sh = scalar_sh = None
+        if mesh is not None:
+            if not (self.jax_dnn and self.callback is None):
+                raise ValueError(
+                    "use_mesh: GaussIDLMA shards only the fully-jitted "
+                    "jax_dnn=True path (the host-DNN loop is host-bound); "
+                    "wrap the DNN as a jittable JAX callable"
+                )
+            axis_size = mesh.shape[self._shard_axis_name]
+            length = input.shape[1 if self._shard_mode == "bins" else 2]
+            if length % axis_size != 0:
+                raise ValueError(
+                    "use_mesh(mode={!r}): axis length {} is not divisible by "
+                    "the {}-way mesh axis {!r}".format(
+                        self._shard_mode, length, axis_size, self._shard_axis_name
+                    )
+                )
+            state_sh = self._sharding_tree(state)
+            scalar_sh = self._replicated()
+
+        nll_fn = self._get_jit(
+            "nll",
+            lambda: lambda sp: self.nll(unpack(sp)),
+            in_shardings=None if mesh is None else (state_sh,),
+        )
         self.loss.append(float(nll_fn(state)))
 
         if self.jax_dnn and self.callback is None:
             run = self._get_jit(
-                "scan:{}".format(iteration), lambda: self._jax_scan_fn(iteration)
+                "scan:{}".format(iteration),
+                lambda: self._jax_scan_fn(iteration),
+                in_shardings=None if mesh is None else (state_sh,),
+                out_shardings=None if mesh is None else (state_sh, scalar_sh),
             )
             state, losses = run(state)
             self.loss.extend(np.asarray(jax.device_get(losses)).tolist())

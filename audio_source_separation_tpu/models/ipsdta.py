@@ -210,6 +210,54 @@ class IPSDTABase(IVABase):
         "fixed_point",
     )
 
+    def field_axes(self):
+        """Shardable axes of the IPSDTA state (see
+        :meth:`IterativeSolver.use_mesh`).
+
+        IPSDTA is the one family where the block model COUPLES neighboring
+        bins (``bss/ipsdta.py:269-273``): every update works on whole
+        ``(block, B, B)`` covariances.  Bin sharding therefore happens at
+        BLOCK granularity — the basis shards along its block axis, the
+        bin-axis fields along bins, and :meth:`_validate_mesh` requires the
+        block partition to align with the shards (uniform blocks, block
+        count divisible by the mesh axis) so every device owns whole blocks
+        and the blocked gathers stay shard-local.  In frames mode everything
+        per-frame shards and the ``Σ_t`` statistics become psums; the
+        activations ``(S, K, T)`` shard along frames.
+        """
+        return {
+            "input": {"bins": 1, "frames": 2},
+            "demix_filter": {"bins": 0},
+            "estimation": {"bins": 1, "frames": 2},
+            "basis": {"bins": 1},  # (S, n_blocks, B, B, K): block axis
+            "activation": {"frames": -1},  # (S, K, T)
+            "fixed_point": {"bins": -1},  # (S, n_bins)
+        }
+
+    def _validate_mesh(self, input):
+        if self._shard_mode != "bins":
+            return
+        n_bins = input.shape[1]
+        layout = self._layout(n_bins)
+        n_dev = self._mesh.shape[self._shard_axis_name]
+        if layout.n_remains != 0 or layout.n_blocks % n_dev != 0:
+            raise ValueError(
+                "use_mesh(mode='bins'): IPSDTA blocks couple bins, so bin "
+                "shards must align with whole blocks — requires a uniform "
+                "block partition (n_bins % n_blocks == 0; here {} % {} = {}) "
+                "and n_blocks divisible by the {}-way mesh axis (here "
+                "{} % {} = {}).  Use mode='frames' or adjust "
+                "n_blocks/the STFT size.".format(
+                    n_bins,
+                    layout.n_blocks,
+                    layout.n_remains,
+                    n_dev,
+                    layout.n_blocks,
+                    n_dev,
+                    layout.n_blocks % n_dev,
+                )
+            )
+
     def __init__(
         self,
         n_basis=10,

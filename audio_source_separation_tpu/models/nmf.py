@@ -57,6 +57,20 @@ class NMFBase(IterativeSolver):
         super().__init__(callbacks=None, recordable_loss=True, eps=eps)
         self.n_basis = n_basis
 
+    def field_axes(self):
+        """Shardable axes of the NMF state (see
+        :meth:`IterativeSolver.use_mesh`).  The MU numerator/denominator
+        contractions are plain GEMMs: under bins sharding the activation
+        update's ``Σ_f`` becomes a psum (and vice versa for frames/basis) —
+        the ``input`` entry describes the 2-D ``(n_bins, n_frames)`` call
+        target."""
+        return {
+            "input": {"bins": 0, "frames": 1},
+            "target": {"bins": -2, "frames": -1},
+            "basis": {"bins": -2},  # (n_bins, n_basis)
+            "activation": {"frames": -1},  # (n_basis, n_frames)
+        }
+
     def prepare_state_kwargs(self, target, state_kwargs):
         n_bins, n_frames = target.shape[-2], target.shape[-1]
         if "basis" not in state_kwargs:

@@ -107,6 +107,20 @@ class PDSBSSBase(IterativeSolver):
     # iteration — derive it instead of carrying it through the scan
     derived_fields = ("estimation",)
 
+    def field_axes(self):
+        """Shardable axes of the PDS state (see
+        :meth:`IterativeSolver.use_mesh`).  The PDS operator/adjoint pair is
+        per-bin block-diagonal (the reference's bsr blocks, ``prox.py:67-79``)
+        so everything shards along bins; in frames mode the adjoint's
+        ``Σ_t`` contraction and the group-ℓ₂ norms become psums."""
+        return {
+            "input": {"bins": 1, "frames": 2},
+            "input_normalized": {"bins": 0, "frames": 1},  # (F, T, C)
+            "demix_filter": {"bins": 0},
+            "dual": {"bins": 0, "frames": 2},  # (F, N, T)
+            "estimation": {"bins": 1, "frames": 2},
+        }
+
     def restore_state(self, state):
         if "estimation" in state:
             return state

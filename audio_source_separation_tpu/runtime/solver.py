@@ -144,6 +144,13 @@ class IterativeSolver:
         self._jit_cache = {}  # shardings are part of the compiled signature
         return self
 
+    def _validate_mesh(self, input):
+        """Solver-specific mesh-compatibility hook, called at ``__call__``
+        once the generic divisibility check passed.  Subclasses whose state
+        couples the sharded axis beyond per-element independence (e.g.
+        IPSDTA's block partition of the bin axis) raise here when the
+        partition does not align with the shards."""
+
     # ------------------------------------------------------------------ #
     # bin padding (indivisible F under a bins-sharded mesh)
     # ------------------------------------------------------------------ #
@@ -391,8 +398,13 @@ class IterativeSolver:
         state_sh = scalar_sh = None
         if mesh is not None:
             axis_size = mesh.shape[self._shard_axis_name]
-            length = input.shape[1 if self._shard_mode == "bins" else 2]
-            if length % axis_size != 0:
+            # locate the sharded input axis from field_axes (3-D mixtures
+            # shard (C, F, T) on axis 1/2; 2-D NMF targets on axis 0/1)
+            in_ax = (self.field_axes().get("input") or {}).get(self._shard_mode)
+            length = (
+                input.shape[in_ax % input.ndim] if in_ax is not None else None
+            )
+            if length is not None and length % axis_size != 0:
                 raise ValueError(
                     "use_mesh(mode={!r}): axis length {} is not divisible by "
                     "the {}-way mesh axis {!r}; choose a mesh that divides it, "
@@ -402,6 +414,7 @@ class IterativeSolver:
                         self._shard_mode, length, axis_size, self._shard_axis_name
                     )
                 )
+            self._validate_mesh(input)
             state_shapes = jax.eval_shape(self._init_fn(), Xp, kwargs_p)
             state_sh = self._sharding_tree(state_shapes)
             x_sh = self._sharding_tree({"input": Xp})["input"]
