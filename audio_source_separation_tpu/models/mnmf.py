@@ -126,7 +126,30 @@ class MultichannelISNMF(MultichannelNMFBase):
                 raise ValueError("Invalid keywords.")
             self.reference_id = kwargs.get("reference_id", reference_id)
         else:
-            self.reference_id = reference_id
+            allowed = {
+                "reference_id",
+                "annealing",
+                "annealing_iterations",
+                "annealing_start",
+                "annealing_end",
+            }
+            if set(kwargs) - allowed:
+                raise ValueError("Invalid keywords.")
+            self.reference_id = kwargs.get("reference_id", reference_id)
+            # simulated annealing (Ozerov & Févotte 2010, the original
+            # paper's remedy for EM's non-separating local optima from
+            # random init): the noise variance is OVERRIDDEN by a decreasing
+            # schedule instead of the M-step estimate — large early noise
+            # flattens the likelihood so the mixing system can reorganize,
+            # the decay then anneals into the data.  ``annealing_start`` /
+            # ``annealing_end`` are relative to the mean mixture power;
+            # geometric decay over ``annealing_iterations`` EM steps.  The
+            # reference's (unfinished, ``mnmf.py:249``) Ozerov has no
+            # annealing — this is the paper's own algorithm, off by default.
+            self.annealing = bool(kwargs.get("annealing", False))
+            self.annealing_iterations = int(kwargs.get("annealing_iterations", 50))
+            self.annealing_start = float(kwargs.get("annealing_start", 1e-1))
+            self.annealing_end = float(kwargs.get("annealing_end", 1e-5))
             warnings.warn("in progress", UserWarning)
 
     def field_axes(self):
@@ -183,6 +206,8 @@ class MultichannelISNMF(MultichannelNMFBase):
             # O(1)-power operating point.
             P = np.mean(np.sum(np.abs(input) ** 2, axis=0), axis=1)  # (n_bins,)
             p_bar = max(float(np.mean(P)), eps)
+            # trace-time constant for the annealing schedule (see __init__)
+            self._anneal_base = p_bar
             if "mix_filter" not in state_kwargs:
                 state_kwargs["mix_filter"] = np.random.randn(
                     n_bins, n_channels, n_sources
@@ -206,6 +231,8 @@ class MultichannelISNMF(MultichannelNMFBase):
             self.n_sources = n_channels
         state = {"input": X}
         state.update(kwargs)
+        if self.author.lower() != "sawada" and getattr(self, "annealing", False):
+            state["step_count"] = jnp.zeros((), dtype=jnp.int32)
         if self.author.lower() == "sawada":
             # observed covariance tensor (``mnmf.py:216-217``), stored as
             # compact Hermitian pair-product planes ``(C², F, T)`` — the
@@ -573,6 +600,19 @@ class MultichannelISNMF(MultichannelNMFBase):
             ).real,
             self.eps,
         )
+        if getattr(self, "annealing", False):
+            # simulated annealing (Ozerov & Févotte 2010): the noise
+            # variance follows a geometric decay schedule instead of the
+            # M-step estimate (see __init__); the schedule floor-maxes the
+            # estimate so late iterations keep the M step's residual once
+            # the annealed level drops beneath it
+            step = state["step_count"]
+            L = max(self.annealing_iterations, 1)
+            frac = jnp.minimum(step.astype(sigma_b.dtype) / L, 1.0)
+            s0 = self.annealing_start * self._anneal_base
+            s1 = self.annealing_end * self._anneal_base
+            level = s0 * (s1 / s0) ** frac
+            sigma_b = jnp.maximum(sigma_b, level)
         # documented divergence: the reference's unfinished Ozerov M step
         # divides by UNFLOORED W/H (``mnmf.py:361``); on real mixtures in
         # float32 the unfloored division feeds a W↓/H↑ scale runaway that
@@ -629,13 +669,16 @@ class MultichannelISNMF(MultichannelNMFBase):
             W_new = W_new / wsum[:, None, :]
             H_new = H_new * wsum[:, :, None]
 
-        return dict(
+        out = dict(
             state,
             mix_filter=A_new,
             noise_covariance=sigma_b,
             basis=W_new,
             activation=H_new,
         )
+        if "step_count" in state:
+            out["step_count"] = state["step_count"] + 1
+        return out
 
     def _nll_ozerov(self, state):
         """Correct Gaussian NLL ``x^H Σx⁻¹ x + log det Σx`` (the reference

@@ -1,4 +1,17 @@
 from .solver import IterativeSolver
-from .profiling import trace, IterationTimer, benchmark_solver
+from .profiling import (
+    IterationTimer,
+    benchmark_solver,
+    measure_memory_bandwidth,
+    scan_cost_analysis,
+    trace,
+)
 
-__all__ = ["IterativeSolver", "trace", "IterationTimer", "benchmark_solver"]
+__all__ = [
+    "IterativeSolver",
+    "trace",
+    "IterationTimer",
+    "benchmark_solver",
+    "scan_cost_analysis",
+    "measure_memory_bandwidth",
+]

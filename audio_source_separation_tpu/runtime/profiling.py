@@ -117,3 +117,91 @@ def benchmark_solver(solver, X, iteration=30, warmup=True, short=None):
     t_short = min_time(jit_short)
     marginal = max(t_long - t_short, 1e-9) / (iteration - short)
     return 1.0 / marginal, compile_seconds
+
+
+def _cost_dict(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return ca or {}
+
+
+def scan_cost_analysis(solver, X, iteration=None, short=None):
+    """XLA-modeled cost of one solver iteration: ``(bytes_per_iter,
+    flops_per_iter)``.
+
+    Compiles the scan BODY as a standalone program — ``restore_state`` (the
+    derived-field recompute the scan performs every iteration) followed by
+    ``update_state``, with the post-init state as I/O — and reads the
+    compiled module's ``cost_analysis()``.  These are post-optimization
+    (post-fusion) figures, i.e. the traffic/FLOP model XLA itself plans
+    for — not a hand traffic model.  (The scan program itself is useless
+    here: XLA's cost analysis counts a While body once regardless of trip
+    count.)  ``iteration``/``short`` are accepted for signature symmetry
+    with :func:`benchmark_solver` and ignored.
+    """
+    X = np.asarray(X)
+    solver.set_shape_metadata(X)
+    kwargs = solver.prepare_state_kwargs(X, {})
+    Xp = pack(X)
+    kwargs_p = pack({k: np.asarray(v) for k, v in kwargs.items()})
+
+    state_shapes = jax.eval_shape(
+        lambda Xp, kp: pack(solver.init_state(unpack(Xp), **unpack(kp))),
+        Xp,
+        kwargs_p,
+    )
+    derived = tuple(
+        k for k in solver.scan_derived_fields() if k in state_shapes
+    )
+    carried = {k: v for k, v in state_shapes.items() if k not in derived}
+
+    def body(sp):
+        full = solver.update_state(solver.restore_state(unpack(sp)))
+        return pack({k: full[k] for k in carried})
+
+    compiled = jax.jit(body).lower(carried).compile()
+    cost = _cost_dict(compiled)
+    return cost.get("bytes accessed", 0.0), cost.get("flops", 0.0)
+
+
+def measure_memory_bandwidth(n_elems=1 << 26, iters=64, windows=4):
+    """Empirical sustained HBM bandwidth (GB/s) via a scanned triad kernel
+    (``y ← a·x + y``: 2 reads + 1 write of an ``n_elems`` f32 array per
+    iteration), with the same two-length differencing as
+    :func:`benchmark_solver` so the tunnel dispatch cancels.  This is the
+    measured roofline DENOMINATOR on the actual chip — no datasheet numbers.
+    """
+    import jax.numpy as jnp
+
+    x = jax.device_put(jnp.ones((n_elems,), jnp.float32))
+    y = jax.device_put(jnp.full((n_elems,), 0.5, jnp.float32))
+
+    def make(n_iter):
+        @jax.jit
+        def run(x, y):
+            def body(y, _):
+                return x * 1.0000001 + y * 0.9999999, ()
+
+            y, _ = jax.lax.scan(body, y, None, length=n_iter)
+            return y.sum()
+
+        return run
+
+    short = max(1, iters // 8)
+    jit_long, jit_short = make(iters), make(short)
+    _ = jax.device_get(jit_long(x, y))
+    _ = jax.device_get(jit_short(x, y))
+
+    def min_time(fn):
+        best = float("inf")
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            _ = jax.device_get(fn(x, y))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_long, t_short = min_time(jit_long), min_time(jit_short)
+    per_iter = max(t_long - t_short, 1e-12) / (iters - short)
+    bytes_per_iter = 3.0 * n_elems * 4
+    return bytes_per_iter / per_iter / 1e9

@@ -207,15 +207,38 @@ def bench_jax(X):
     return 1.0 / marginal
 
 
+def bench_solver_runtime(X):
+    """Sustained rate of the PRODUCTION solver runtime (IterativeSolver scan
+    with the invariant/derived carry split), same differencing methodology —
+    the number a user's ``solver(X, iteration=N)`` call sustains on device."""
+    from audio_source_separation_tpu.models import AuxLaplaceIVA
+    from audio_source_separation_tpu.runtime import benchmark_solver
+
+    solver = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)
+    ips, _ = benchmark_solver(solver, X.astype(np.complex64), iteration=400)
+    return ips
+
+
 def main():
     X = make_input()
     jax_ips = bench_jax(X)
+    solver_ips = bench_solver_runtime(X)
     numpy_ips = bench_numpy(X)
+    # ONE line, TWO self-describing metrics (VERDICT r2 item 5): the headline
+    # is the raw component-layout kernel scan; "solver_runtime" is the full
+    # IterativeSolver production path on the same workload.  Both use the
+    # dispatch-cancelling differenced methodology.
     result = {
-        "metric": "auxiva_ip_iterations_per_sec_2ch_fft4096",
+        "metric": "auxiva_ip_component_kernel_iters_per_sec_2ch_fft4096",
         "value": round(jax_ips, 3),
         "unit": "iters/s",
         "vs_baseline": round(jax_ips / numpy_ips, 2),
+        "solver_runtime": {
+            "metric": "auxiva_ip_solver_runtime_iters_per_sec_2ch_fft4096",
+            "value": round(solver_ips, 3),
+            "unit": "iters/s",
+            "vs_baseline": round(solver_ips / numpy_ips, 2),
+        },
     }
     print(json.dumps(result))
 

@@ -35,7 +35,11 @@ from audio_source_separation_tpu.models import (
     TILRMA,
     TIPSDTA,
 )
-from audio_source_separation_tpu.runtime import benchmark_solver
+from audio_source_separation_tpu.runtime import (
+    benchmark_solver,
+    measure_memory_bandwidth,
+    scan_cost_analysis,
+)
 
 
 def make_input(n_channels=2, n_bins=2049, n_frames=469, dtype=np.complex64):
@@ -170,21 +174,43 @@ def main():
         ("GaussIPSDTA Ikeshita (K=2)", 5, lambda: GaussIPSDTA(n_basis=2, author="Ikeshita", recordable_loss=False)),
         ("tIPSDTA Kondo (K=2)", 5, lambda: TIPSDTA(n_basis=2, nu=1000, recordable_loss=False)),
     ]
+    # roofline denominator: the chip's SUSTAINED copy bandwidth, measured on
+    # the actual device (triad kernel, differenced scan lengths)
+    try:
+        peak_gbs = measure_memory_bandwidth()
+        print(json.dumps({"measured_hbm_bandwidth_gb_s": round(peak_gbs, 1)}), flush=True)
+    except Exception as exc:  # noqa: BLE001
+        peak_gbs = None
+        print(json.dumps({"hbm_probe_error": str(exc)[:200]}), flush=True)
+
     results = []
     for name, iters, factory in configs:
         np.random.seed(111)
         solver = factory()
         try:
             ips, compile_s = benchmark_solver(solver, X, iteration=iters)
-            results.append((name, ips, compile_s))
-            print(json.dumps({"solver": name, "iters_per_sec": round(ips, 2),
-                              "compile_plus_first_exec_s": round(compile_s, 1)}), flush=True)
+            np.random.seed(111)
+            try:
+                bytes_it, flops_it = scan_cost_analysis(factory(), X)
+            except Exception:  # noqa: BLE001 — cost analysis is best-effort
+                bytes_it = flops_it = None
+            results.append((name, ips, compile_s, bytes_it, flops_it))
+            rec = {"solver": name, "iters_per_sec": round(ips, 2),
+                   "compile_plus_first_exec_s": round(compile_s, 1)}
+            if bytes_it is not None:
+                rec["xla_bytes_per_iter_mb"] = round(bytes_it / 1e6, 1)
+                rec["achieved_gb_s"] = round(bytes_it * ips / 1e9, 1)
+                if peak_gbs:
+                    rec["pct_of_measured_peak"] = round(
+                        100 * bytes_it * ips / 1e9 / peak_gbs, 1
+                    )
+            print(json.dumps(rec), flush=True)
         except Exception as exc:  # noqa: BLE001 — record and continue
             print(json.dumps({"solver": name, "error": str(exc)[:200]}), flush=True)
 
     try:
         ips, compile_s = bench_idlma()
-        results.append(("GaussIDLMA (jax MLP 2049-512-2049)", ips, compile_s))
+        results.append(("GaussIDLMA (jax MLP 2049-512-2049)", ips, compile_s, None, None))
         print(json.dumps({"solver": "GaussIDLMA (jax MLP)", "iters_per_sec": round(ips, 2),
                           "compile_plus_first_exec_s": round(compile_s, 1)}), flush=True)
     except Exception as exc:  # noqa: BLE001
@@ -241,11 +267,31 @@ def main():
         "~30 MB/s development tunnel (~1.4 s fixed), which swamps any",
         "iteration count.",
         "",
-        "| Solver | iters/s | compile + first exec (s) |",
-        "|---|---|---|",
+        "ROOFLINE COLUMNS: `XLA MB/iter` is the compiled scan body's own",
+        "post-fusion cost analysis (`runtime/profiling.py::scan_cost_analysis`",
+        "— the traffic model the compiler plans for, not a hand model);",
+        "`achieved GB/s` = bytes/iter × iters/s; `% peak` is relative to the",
+        "chip's MEASURED sustained triad bandwidth",
+        "(`measure_memory_bandwidth`{}).".format(
+            ": {:.0f} GB/s on this run".format(peak_gbs) if peak_gbs else ""
+        ),
+        "",
+        "| Solver | iters/s | XLA MB/iter | achieved GB/s | % peak | compile + first exec (s) |",
+        "|---|---|---|---|---|---|",
     ]
-    for name, ips, compile_s in results:
-        lines.append("| {} | {:.1f} | {:.1f} |".format(name, ips, compile_s))
+    for name, ips, compile_s, bytes_it, flops_it in results:
+        if bytes_it is not None:
+            gbs = bytes_it * ips / 1e9
+            pct = "{:.0f}%".format(100 * gbs / peak_gbs) if peak_gbs else "—"
+            lines.append(
+                "| {} | {:.1f} | {:.1f} | {:.1f} | {} | {:.1f} |".format(
+                    name, ips, bytes_it / 1e6, gbs, pct, compile_s
+                )
+            )
+        else:
+            lines.append(
+                "| {} | {:.1f} | — | — | — | {:.1f} |".format(name, ips, compile_s)
+            )
     if dp_rate is not None:
         lines += [
             "",

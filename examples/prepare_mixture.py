@@ -82,6 +82,43 @@ def _fetch_arctic(data_root, title):
         return False
 
 
+MIRD_URL = (
+    "https://www.iks.rwth-aachen.de/fileadmin/user_upload/downloads/forschung/"
+    "tools-downloads/Impulse_response_Acoustic_Lab_Bar-Ilan_University__"
+    "Reverberation_{reverb}s__{mic_intervals}.zip"
+)
+
+
+def _fetch_mird(data_root, reverb=0.16, mic_intervals="3-3-3-8-3-3-3"):
+    """The reference's MIRD zip download step
+    (``egs/bss-example/iva/prepare.sh:23-29``: wget the Bar-Ilan measured
+    impulse responses + unzip into ``MIRD/Reverb{t60}_{intervals}/``);
+    returns True when the dataset directory is populated, False when the
+    network is unavailable (the pipeline then synthesizes RIRs on the same
+    array geometry)."""
+    import urllib.request
+    import zipfile
+
+    out_dir = os.path.join(
+        data_root, "MIRD", "Reverb{:.3f}_{}".format(reverb, mic_intervals)
+    )
+    if os.path.isdir(out_dir) and any(
+        name.endswith(".mat") for name in os.listdir(out_dir)
+    ):
+        return True
+    os.makedirs(out_dir, exist_ok=True)
+    archive = os.path.join(data_root, "MIRD", "mird.zip")
+    url = MIRD_URL.format(reverb="{:.3f}".format(reverb), mic_intervals=mic_intervals)
+    try:
+        urllib.request.urlretrieve(url, archive)
+        with zipfile.ZipFile(archive) as zf:
+            zf.extractall(out_dir)
+        return True
+    except Exception as exc:  # noqa: BLE001 — offline sandbox: fall back
+        print("MIRD download failed ({}); using synthetic RIRs".format(exc))
+        return False
+
+
 def _load_mird_rir(data_root, reverb, mic_intervals, distance, degree):
     """Measured MIRD RIR when the dataset is present (reference path layout,
     ``local/prepare.py:60-64``), else None."""
@@ -116,6 +153,11 @@ def prepare_mird(
     degrees = list(MIRD_DEGREES if degrees is None else degrees)
     samples = int(duration * sr)
     os.makedirs(data_root, exist_ok=True)
+
+    # measured MIRD RIRs: the reference's zip download (prepare.sh) when
+    # requested; _load_mird_rir falls back to synthetic geometry otherwise
+    if download:
+        _fetch_mird(data_root, reverb=reverb, mic_intervals=mic_intervals)
 
     # sources: downloaded CMU-ARCTIC when possible, synthetic otherwise
     raw = []

@@ -24,6 +24,7 @@ from audio_source_separation_tpu.models import (
     AuxGaussIVA,
     AuxLaplaceIVA,
     FastMultichannelISNMF,
+    GaussIDLMA,
     GaussILRMA,
     GaussIPSDTA,
     GradLaplaceFDICA,
@@ -33,6 +34,43 @@ from audio_source_separation_tpu.models import (
     TILRMA,
 )
 from audio_source_separation_tpu.utils import read_wav, write_wav
+
+
+def idlma_jax_mlp(n_bins, n_sources, hidden=1024, num_layers=2, seed=111):
+    """Per-source MLP variance model mirroring the reference IDLMA example
+    (``egs/sss-example/idlma/test_gauss-idlma.ipynb`` cells 12-13: one
+    ``n_bins → hidden → n_bins`` ReLU MLP per source over frame-batched
+    amplitude spectra; the notebook runs it UNtrained — "Actually, we have
+    to train DNN beforehand" — so untrained weights here are example
+    parity, not a quality claim).  Returns a jittable JAX callable, so the
+    whole IDLMA loop compiles into one on-device scan (``jax_dnn=True``)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    dims = [n_bins] + [hidden] * (num_layers - 1) + [n_bins]
+    params = []
+    for _ in range(n_sources):
+        layers = []
+        for d_in, d_out in zip(dims[:-1], dims[1:]):
+            bound = 1.0 / np.sqrt(d_in)  # torch.nn.Linear default init
+            layers.append(
+                (
+                    jnp.asarray(rng.uniform(-bound, bound, (d_in, d_out))),
+                    jnp.asarray(rng.uniform(-bound, bound, (d_out,))),
+                )
+            )
+        params.append(layers)
+
+    def dnn(amp):  # (n_sources, n_bins, n_frames) amplitude → variance model
+        outs = []
+        for s in range(len(params)):
+            h = amp[s].T  # (n_frames, n_bins): frames are the batch
+            for W, b in params[s]:
+                h = jnp.maximum(h @ W + b, 0.0)  # every layer ends in ReLU
+            outs.append(h.T)
+        return jnp.stack(outs)
+
+    return dnn
 
 
 def build_solver(args):
@@ -56,6 +94,10 @@ def build_solver(args):
         return FastMultichannelISNMF(n_basis=args.n_basis)
     if args.method == "ipsdta":
         return GaussIPSDTA(n_basis=args.n_basis, author="Kondo", n_blocks=args.n_blocks)
+    if args.method == "idlma":
+        # DNN-informed separation (reference egs/sss-example/idlma): the
+        # variance MLP runs INSIDE the jitted scan (jax_dnn=True)
+        return GaussIDLMA(normalize="projection-back", jax_dnn=True)
     raise ValueError("unknown method {}".format(args.method))
 
 
@@ -71,6 +113,10 @@ def main():
     parser.add_argument("--n-blocks", type=int, default=None)
     parser.add_argument("--nu", type=float, default=1000.0)
     parser.add_argument("--lr", type=float, default=0.1)
+    parser.add_argument(
+        "--hidden", type=int, default=1024,
+        help="idlma: hidden width of the per-source variance MLP",
+    )
     parser.add_argument("--seed", type=int, default=111)
     parser.add_argument("--out", default="separated")
     args = parser.parse_args()
@@ -86,7 +132,15 @@ def main():
     X = asst.stft(x, fft_size=args.fft_size, hop_size=hop)
     np.random.seed(args.seed)
     solver = build_solver(args)
-    Y = solver(np.asarray(X), iteration=args.iterations)
+    call_kwargs = {}
+    if args.method == "idlma":
+        call_kwargs["dnn"] = idlma_jax_mlp(
+            n_bins=args.fft_size // 2 + 1,
+            n_sources=x.shape[0],
+            hidden=args.hidden,
+            seed=args.seed,
+        )
+    Y = solver(np.asarray(X), iteration=args.iterations, **call_kwargs)
     y = np.asarray(asst.istft(Y, fft_size=args.fft_size, hop_size=hop, length=x.shape[-1]))
 
     os.makedirs(args.out, exist_ok=True)

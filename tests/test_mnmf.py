@@ -100,6 +100,44 @@ def test_ozerov_mnmf_monotone_on_quiet_mixture(rng):
     assert np.isfinite(np.asarray(Y)).all()
 
 
+def test_ozerov_annealing_schedule(rng):
+    """Simulated annealing (Ozerov & Févotte 2010, ``annealing=True``): the
+    noise variance follows the geometric decay floor instead of the M-step
+    estimate.  Early iterations must sit AT the (large) annealed level; the
+    level decays toward the M-step regime; the run stays finite."""
+    mixture, _ = synth_convolutive_mixture(rng, n_sources=2, n_samples=4000)
+    X = np.asarray(stft(mixture, fft_size=128, hop_size=64))
+
+    np.random.seed(111)
+    with pytest.warns(UserWarning):
+        solver = MultichannelISNMF(
+            n_basis=2, author="Ozerov",
+            annealing=True, annealing_iterations=10,
+            annealing_start=1.0, annealing_end=1e-4,
+        )
+    solver(X, iteration=3)
+    p_bar = solver._anneal_base
+    sigma_b = np.asarray(solver.noise_covariance)
+    assert np.isfinite(np.asarray(solver.loss)).all()
+    # after 3 updates the schedule level is s0·(s1/s0)^(2/10); every entry
+    # sits at or slightly above it (max(M-step estimate, level))
+    level_after = 1.0 * p_bar * (1e-4) ** (2 / 10)
+    assert sigma_b.min() >= level_after * (1 - 1e-9)
+    assert sigma_b.min() <= level_after * 1.05
+
+    # annealing off: behavior unchanged (step_count never enters the state)
+    np.random.seed(111)
+    with pytest.warns(UserWarning):
+        plain = MultichannelISNMF(n_basis=2, author="Ozerov")
+    plain(X, iteration=3)
+    assert not hasattr(plain, "step_count")
+
+
+def test_ozerov_invalid_kwargs_rejected():
+    with pytest.raises(ValueError):
+        MultichannelISNMF(n_basis=2, author="Ozerov", bogus_kwarg=1)
+
+
 def test_fastmnmf_loss_decreases(rng):
     mixture, _ = synth_convolutive_mixture(rng, n_sources=2, n_samples=8000)
     X = np.asarray(stft(mixture, fft_size=256, hop_size=128))

@@ -1,0 +1,135 @@
+"""Sample-song end-to-end tests beyond GaussILRMA (VERDICT r2 item 4: the
+BASELINE.json north star is SI-SDR parity on ``dataset/sample-song``).
+
+The bundled stems are a few hundred samples misaligned from the mixture, so
+SI-SDR is computed at the best cross-correlation lag (same convention as
+``tests/test_ilrma.py``).  AuxIVA is known NOT to improve SI-SDR on this
+music mixture (envelope independence fails for piano/violin) — its test
+therefore asserts PARITY with the actual reference implementation on the
+identical workload, which is the north-star claim; FastMNMF (full-rank
+spatial model) does improve and is asserted to.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from scipy.signal import fftconvolve
+
+from audio_source_separation_tpu import istft, stft
+from audio_source_separation_tpu.utils import read_wav
+
+SAMPLE_SONG = "/root/reference/dataset/sample-song/sample-2_mixture_16000.wav"
+REFERENCE_SRC = "/root/reference/src"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SAMPLE_SONG), reason="sample-song not available"
+)
+
+
+def _si_sdr(est, target, eps=1e-12):
+    alpha = np.dot(est, target) / np.maximum(np.dot(target, target), eps)
+    num = np.sum((alpha * target) ** 2)
+    den = np.maximum(np.sum((est - alpha * target) ** 2), eps)
+    return 10 * np.log10(np.maximum(num / den, eps))
+
+
+def _best_lag_sisdr(est, stem):
+    c = fftconvolve(est, stem[::-1], mode="full")
+    lag = int(np.argmax(np.abs(c))) - (len(stem) - 1)
+    if lag >= 0:
+        e = est[lag : lag + len(stem)]
+        t = stem[: len(e)]
+    else:
+        e = est[: len(stem) + lag]
+        t = stem[-lag : -lag + len(e)]
+    return _si_sdr(e, t)
+
+
+def _pit_sisdr(y, piano, violin):
+    return max(
+        np.mean([_best_lag_sisdr(y[0], piano), _best_lag_sisdr(y[1], violin)]),
+        np.mean([_best_lag_sisdr(y[0], violin), _best_lag_sisdr(y[1], piano)]),
+    )
+
+
+@pytest.fixture(scope="module")
+def song():
+    x, sr = read_wav(SAMPLE_SONG)
+    x = x.T
+    piano, _ = read_wav(SAMPLE_SONG.replace("mixture", "piano"))
+    violin, _ = read_wav(SAMPLE_SONG.replace("mixture", "violin"))
+    return x, piano, violin
+
+
+def test_auxiva_ip_sample_song_reference_parity(song):
+    """Ours vs the ACTUAL reference AuxIVA-IP on the identical sample-song
+    workload: matching loss trajectory and matching SI-SDR."""
+    from audio_source_separation_tpu.models import AuxLaplaceIVA
+
+    x, piano, violin = song
+    fft_size, hop_size = 2048, 1024
+    X = np.asarray(stft(x, fft_size=fft_size, hop_size=hop_size))
+
+    ours = AuxLaplaceIVA(algorithm_spatial="IP")
+    Y = np.asarray(ours(X, iteration=30))
+    y = np.asarray(istft(Y, fft_size=fft_size, hop_size=hop_size, length=x.shape[-1]))
+    assert np.asarray(ours.loss)[-1] < np.asarray(ours.loss)[0]
+
+    # NumPy-1.x stacked-vector solve shim (same as tests/test_reference_parity)
+    original_solve = np.linalg.solve
+
+    def legacy_solve(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        if (
+            b.ndim == a.ndim - 1
+            and a.shape[:-2] == b.shape[:-1]
+            and a.shape[-1] == b.shape[-1]
+        ):
+            return original_solve(a, b[..., None])[..., 0]
+        return original_solve(a, b)
+
+    sys.path.insert(0, REFERENCE_SRC)
+    np.linalg.solve = legacy_solve
+    try:
+        from bss.iva import AuxLaplaceIVA as RefAuxIVA
+
+        ref = RefAuxIVA(algorithm_spatial="IP")
+        Yr = np.asarray(ref(X, iteration=30))
+    finally:
+        np.linalg.solve = original_solve
+        sys.path.remove(REFERENCE_SRC)
+    yr = np.asarray(istft(Yr, fft_size=fft_size, hop_size=hop_size, length=x.shape[-1]))
+
+    np.testing.assert_allclose(
+        np.asarray(ours.loss), np.asarray(ref.loss), rtol=1e-6
+    )
+    ours_sisdr = _pit_sisdr(y, piano, violin)
+    ref_sisdr = _pit_sisdr(yr, piano, violin)
+    assert abs(ours_sisdr - ref_sisdr) < 0.05, (ours_sisdr, ref_sisdr)
+
+
+def test_fastmnmf_sample_song_improves_sisdr(song):
+    """FastMNMF's full-rank spatial model separates the music mixture the
+    rank-1 IVA family cannot — end-to-end SI-SDR must improve."""
+    from audio_source_separation_tpu.models import FastMultichannelISNMF
+
+    x, piano, violin = song
+    fft_size, hop_size = 2048, 1024
+    X = np.asarray(stft(x, fft_size=fft_size, hop_size=hop_size))
+
+    np.random.seed(111)
+    # music needs basis capacity: K=4 only reaches +0.3 dB on this mixture,
+    # K=16 separates (+1.6 dB at 60 iterations; probed K ∈ {4, 8, 16})
+    solver = FastMultichannelISNMF(n_basis=16)
+    Y = np.asarray(solver(X, iteration=60))
+    y = np.asarray(istft(Y, fft_size=fft_size, hop_size=hop_size, length=x.shape[-1]))
+
+    losses = np.asarray(solver.loss)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    before = _pit_sisdr(x, piano, violin)
+    after = _pit_sisdr(y, piano, violin)
+    assert after > before + 1.0, (before, after)
