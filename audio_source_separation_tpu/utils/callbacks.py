@@ -24,20 +24,36 @@ class SDRImprovementCallback:
     ``cb.history`` afterwards.
     """
 
-    def __init__(self, targets, fft_size, hop_size, length=None):
+    def __init__(
+        self, targets, fft_size, hop_size, length=None, apply_projection_back=True
+    ):
         self.targets = np.asarray(targets)  # (n_sources, n_samples)
         self.fft_size = fft_size
         self.hop_size = hop_size
         self.length = length if length is not None else self.targets.shape[-1]
+        # mid-run estimates carry arbitrary per-bin scales (solvers restore
+        # scale only at finalize); SI-SDR is invariant to a GLOBAL per-source
+        # scale but not to a per-bin filter, so the notebook-equivalent curve
+        # projects back against the reference mic every iteration
+        self.apply_projection_back = apply_projection_back
         self.history = []
 
     def __call__(self, solver):
         estimation = getattr(solver, "estimation", None)
         if estimation is None:
             return
+        estimation = np.asarray(estimation)
+        if self.apply_projection_back and getattr(solver, "input", None) is not None:
+            from ..algorithm.projection_back import projection_back
+
+            reference_id = getattr(solver, "reference_id", 0)
+            scale = np.asarray(
+                projection_back(estimation, np.asarray(solver.input)[reference_id])
+            )
+            estimation = estimation * scale[..., None]
         y = np.asarray(
             istft(
-                np.asarray(estimation),
+                estimation,
                 fft_size=self.fft_size,
                 hop_size=self.hop_size,
                 length=self.length,
