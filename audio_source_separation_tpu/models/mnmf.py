@@ -50,6 +50,7 @@ from ..algorithm.linalg import solve_riccati
 from ..criterion.divergence import logdet_divergence
 from ..ops.ip import cond_guard
 from ..ops.fast_linalg import (
+    f32_matmuls,
     add_diag_planes,
     batched_det,
     batched_inv,
@@ -704,16 +705,25 @@ class MultichannelISNMF(MultichannelNMFBase):
         return s_post  # (S, F, T)
 
     # ------------------------------------------------------------------ #
+    # every stage runs with float32 matmul precision: TPU's default bf16
+    # multiplies NaN the Sawada EM after ~40 iterations (and immediately
+    # from ill-conditioned seeded spatial inits) — the reduced-precision
+    # trace/Riccati contractions drive X̂ indefinite and its adjugate
+    # inverse explodes (measured on hardware; caught by the QUALITY.md
+    # sweep's seeded/300-iteration rows; same failure mode as IPSDTA)
+    @f32_matmuls
     def update_state(self, state):
         if self.author.lower() == "sawada":
             return self._update_sawada(state)
         return self._update_ozerov(state)
 
+    @f32_matmuls
     def nll(self, state):
         if self.author.lower() == "sawada":
             return self._nll_sawada(state)
         return self._nll_ozerov(state)
 
+    @f32_matmuls
     def finalize(self, state):
         if self.author.lower() == "sawada":
             return self._separate_sawada(state)

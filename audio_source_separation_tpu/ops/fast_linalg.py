@@ -11,7 +11,29 @@ bin axis — pure VPU work at full lane occupancy.
 and fall back to ``jnp.linalg`` for larger sizes.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
+
+
+def f32_matmuls(fn):
+    """Force float32 matmul/einsum multiplies inside a traced stage.
+
+    TPU's DEFAULT matmul precision (bfloat16 multiplies) destabilizes
+    inverse/PSD chains built from contractions: covariances assembled from
+    reduced-precision products go indefinite, their adjugate inverses blow
+    up, and the solver NaNs (measured on hardware for IPSDTA within one
+    iteration and for Sawada MNMF after ~40 iterations / from seeded inits;
+    CPU float32 is fine).  These contractions are memory-bound, so
+    full-precision multiplies cost nothing."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def det_2x2(A):
