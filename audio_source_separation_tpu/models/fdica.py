@@ -85,27 +85,67 @@ class GradFDICABase(FDICABase):
         return "GradFDICA(lr={})".format(self.lr)
 
 
+def _component_rows(W):
+    n_sources, n_channels = W.shape[1], W.shape[2]
+    return [[W[:, s, c] for c in range(n_channels)] for s in range(n_sources)]
+
+
+def _stack_rows(rows):
+    return jnp.stack([jnp.stack(row, axis=-1) for row in rows], axis=1)
+
+
 class GradLaplaceFDICA(GradFDICABase):
-    """Plain-gradient Laplace FDICA (``fdica.py:203-247``)."""
+    """Plain-gradient Laplace FDICA (``fdica.py:203-247``).
+
+    Component-layout body for square W with C ≤ 4 (the transposes and the
+    tile-padded (F, C, C) delta of the matrix formulation dominated its
+    runtime — see :func:`ops.ip_components.natural_grad_step_components`);
+    matrix fallback otherwise.
+    """
+
+    def _score_direct(self, Y):
+        """Laplace score on estimate-major ``(N, F, T)``."""
+        return Y / floor_below(jnp.abs(Y), self.eps)
 
     def update_state(self, state):
         X, W = state["input"], state["demix_filter"]
         n_frames = X.shape[-1]
+        if W.shape[1] == W.shape[2] and W.shape[1] <= 4:
+            from ..ops.ip_components import (
+                plain_grad_step_components,
+                separate_components,
+            )
+
+            Y = state["estimation"]  # == separate(X, W) (update invariant)
+            rows = plain_grad_step_components(
+                _component_rows(W), X, self._score_direct(Y), self.lr
+            )
+            return dict(
+                state,
+                demix_filter=_stack_rows(rows),
+                estimation=separate_components(rows, X),
+            )
         Y = self.separate(X, W)
         X_h = jnp.transpose(X, (1, 2, 0)).conj()
         W_invH = jnp.swapaxes(jnp.linalg.inv(W), -2, -1).conj()
         Phi = self._score(jnp.transpose(Y, (1, 0, 2)))
         delta = (Phi @ X_h) / n_frames - W_invH
         W = W - self.lr * delta
-        return {"input": X, "demix_filter": W, "estimation": self.separate(X, W)}
+        return dict(
+            state, demix_filter=W, estimation=self.separate(X, W)
+        )
 
 
 class NaturalGradLaplaceFDICA(GradFDICABase):
-    """Natural-gradient Laplace FDICA (``fdica.py:249-301``)."""
+    """Natural-gradient Laplace FDICA (``fdica.py:249-301``); component-
+    layout body like :class:`GradLaplaceFDICA` (no inverse needed)."""
 
     def __init__(self, lr=1e-1, reference_id=0, is_holonomic=True, **kwargs):
         super().__init__(lr=lr, reference_id=reference_id, **kwargs)
         self.is_holonomic = is_holonomic
+
+    def _score_direct(self, Y):
+        return Y / floor_below(jnp.abs(Y), self.eps)
 
     def update_state(self, state):
         if not self.is_holonomic:
@@ -113,6 +153,21 @@ class NaturalGradLaplaceFDICA(GradFDICABase):
         X, W = state["input"], state["demix_filter"]
         n_channels = X.shape[0]
         n_frames = X.shape[-1]
+        if W.shape[1] == W.shape[2] and W.shape[1] <= 4:
+            from ..ops.ip_components import (
+                natural_grad_step_components,
+                separate_components,
+            )
+
+            Y = state["estimation"]  # == separate(X, W) (update invariant)
+            rows = natural_grad_step_components(
+                _component_rows(W), Y, self._score_direct(Y), self.lr
+            )
+            return dict(
+                state,
+                demix_filter=_stack_rows(rows),
+                estimation=separate_components(rows, X),
+            )
         Y = self.separate(X, W)
         Yb = jnp.transpose(Y, (1, 0, 2))
         Y_h = jnp.swapaxes(Yb, -2, -1).conj()
@@ -120,7 +175,9 @@ class NaturalGradLaplaceFDICA(GradFDICABase):
         Phi = self._score(Yb)
         delta = ((Phi @ Y_h) / n_frames - eye) @ W
         W = W - self.lr * delta
-        return {"input": X, "demix_filter": W, "estimation": self.separate(X, W)}
+        return dict(
+            state, demix_filter=W, estimation=self.separate(X, W)
+        )
 
     def __repr__(self):
         return "NaturalGradLaplaceFDICA(lr={}, is_holonomic={})".format(

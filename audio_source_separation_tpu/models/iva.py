@@ -245,34 +245,84 @@ class GradIVABase(IVABase):
         return "GradIVA(lr={lr})".format(lr=self.lr)
 
 
+def _grad_component_rows(W):
+    n_sources, n_channels = W.shape[1], W.shape[2]
+    return [[W[:, s, c] for c in range(n_channels)] for s in range(n_sources)]
+
+
+def _grad_stack_rows(rows):
+    return jnp.stack([jnp.stack(row, axis=-1) for row in rows], axis=1)
+
+
 class GradLaplaceIVA(GradIVABase):
     """Plain-gradient Laplace IVA: ``ΔW = Φ X^H / T − W^{-H}``
-    (``bss/iva.py:196-241``)."""
+    (``bss/iva.py:196-241``).  Component-layout body for square W with
+    C ≤ 4 (see :func:`ops.ip_components.plain_grad_step_components`)."""
+
+    def _score_direct(self, Y):
+        """Multivariate Laplace score on estimate-major ``(N, F, T)``."""
+        P = jnp.abs(Y) ** 2
+        denom = floor_below(jnp.sqrt(P.sum(axis=1)), self.eps)  # (N, T)
+        return Y / denom[:, None, :]
 
     def update_state(self, state):
         X, W = state["input"], state["demix_filter"]
         n_frames = X.shape[-1]
+        if W.shape[1] == W.shape[2] and W.shape[1] <= 4:
+            from ..ops.ip_components import (
+                plain_grad_step_components,
+                separate_components,
+            )
+
+            Y = state["estimation"]  # == separate(X, W) (update invariant)
+            rows = plain_grad_step_components(
+                _grad_component_rows(W), X, self._score_direct(Y), self.lr
+            )
+            return dict(
+                state,
+                demix_filter=_grad_stack_rows(rows),
+                estimation=separate_components(rows, X),
+            )
         Y = self.separate(X, W)
         X_h = jnp.transpose(X, (1, 2, 0)).conj()  # (F, T, C)
         W_invH = jnp.swapaxes(jnp.linalg.inv(W), -2, -1).conj()
         Phi = self._score(jnp.transpose(Y, (1, 0, 2)))  # (F, N, T)
         delta = (Phi @ X_h) / n_frames - W_invH
         W = W - self.lr * delta
-        return {
-            "input": X,
-            "demix_filter": W,
-            "estimation": self.separate(X, W),
-        }
+        return dict(
+            state, demix_filter=W, estimation=self.separate(X, W)
+        )
 
 
 class NaturalGradLaplaceIVA(GradIVABase):
     """Natural-gradient Laplace IVA: ``ΔW = (Φ Y^H / T − I) W``
-    (``bss/iva.py:243-287``)."""
+    (``bss/iva.py:243-287``); component-layout body like
+    :class:`GradLaplaceIVA` (no inverse needed)."""
+
+    def _score_direct(self, Y):
+        P = jnp.abs(Y) ** 2
+        denom = floor_below(jnp.sqrt(P.sum(axis=1)), self.eps)  # (N, T)
+        return Y / denom[:, None, :]
 
     def update_state(self, state):
         X, W = state["input"], state["demix_filter"]
         n_channels = X.shape[0]
         n_frames = X.shape[-1]
+        if W.shape[1] == W.shape[2] and W.shape[1] <= 4:
+            from ..ops.ip_components import (
+                natural_grad_step_components,
+                separate_components,
+            )
+
+            Y = state["estimation"]  # == separate(X, W) (update invariant)
+            rows = natural_grad_step_components(
+                _grad_component_rows(W), Y, self._score_direct(Y), self.lr
+            )
+            return dict(
+                state,
+                demix_filter=_grad_stack_rows(rows),
+                estimation=separate_components(rows, X),
+            )
         Y = self.separate(X, W)
         Yb = jnp.transpose(Y, (1, 0, 2))  # (F, N, T)
         Y_h = jnp.swapaxes(Yb, -2, -1).conj()  # (F, T, N)
@@ -280,11 +330,9 @@ class NaturalGradLaplaceIVA(GradIVABase):
         Phi = self._score(Yb)
         delta = ((Phi @ Y_h) / n_frames - eye) @ W
         W = W - self.lr * delta
-        return {
-            "input": X,
-            "demix_filter": W,
-            "estimation": self.separate(X, W),
-        }
+        return dict(
+            state, demix_filter=W, estimation=self.separate(X, W)
+        )
 
     def __repr__(self):
         return "NaturalGradIVA(lr={lr})".format(lr=self.lr)

@@ -279,6 +279,71 @@ def log_abs_det_components(W_rows, n_channels):
     return jnp.log(jnp.abs(det))
 
 
+def natural_grad_step_components(W_rows, Y, Phi, lr):
+    """One natural-gradient step ``W ← W − lr·((Φ Y^H/T − I) W)`` in
+    component layout (FDICA/IVA gradient families).
+
+    The matrix-layout formulation transposes the estimates twice per
+    iteration ((N, F, T) ⇄ (F, N, T), ~15 MB each at the canonical config)
+    and materializes (F, C, C) tensors whose 2×2 minors pad to the TPU tile
+    at ~256× the payload traffic.  Here the cross-moments
+    ``G[n][m] = mean_t Φ_n Ȳ_m`` are (F,)-plane frame reductions and the
+    update is component-vector arithmetic — no transposes, no (F, C, C)
+    arrays.
+
+    Args:
+        W_rows: nested list ``[n][c]`` of complex ``(F,)`` demixing rows.
+        Y: estimates ``(N, F, T)`` (the ``separate(X, W)`` invariant).
+        Phi: score ``(N, F, T)`` (contrast-specific).
+        lr: learning rate.
+    Returns: updated ``W_rows``.
+    """
+    n_sources = len(W_rows)
+    n_channels = len(W_rows[0])
+    n_frames = Y.shape[-1]
+    G = [
+        [(Phi[n] * Y[m].conj()).sum(axis=-1) / n_frames for m in range(n_sources)]
+        for n in range(n_sources)
+    ]
+    new_rows = []
+    for n in range(n_sources):
+        row = []
+        for c in range(n_channels):
+            delta = None
+            for m in range(n_sources):
+                g = G[n][m] - 1.0 if m == n else G[n][m]
+                term = g * W_rows[m][c]
+                delta = term if delta is None else delta + term
+            row.append(W_rows[n][c] - lr * delta)
+        new_rows.append(row)
+    return new_rows
+
+
+def plain_grad_step_components(W_rows, X, Phi, lr):
+    """One plain-gradient step ``W ← W − lr·(Φ X^H/T − W^{-H})`` in
+    component layout; the inverse-Hermitian term comes from the adjugate
+    (closed forms, square W, N ≤ 4 — see :func:`solve_column_components`).
+    """
+    n_sources = len(W_rows)
+    n_channels = len(W_rows[0])
+    n_frames = X.shape[-1]
+    det = det_components(W_rows, n_sources)
+    # inv_cols[n] = column n of W^{-1}: inv_cols[n][c] = (W^{-1})[c, n]
+    inv_cols = [
+        solve_column_components(W_rows, n_sources, n, det=det)
+        for n in range(n_sources)
+    ]
+    new_rows = []
+    for n in range(n_sources):
+        row = []
+        for c in range(n_channels):
+            px = (Phi[n] * X[c].conj()).sum(axis=-1) / n_frames
+            w_invh = inv_cols[n][c].conj()  # W^{-H}[n, c]
+            row.append(W_rows[n][c] - lr * (px - w_invh))
+        new_rows.append(row)
+    return new_rows
+
+
 def auxiva_ip_step_components(X, W_rows, Y, planes, eps=1e-8, threshold=1e12):
     """Full AuxIVA-IP iteration in component layout.
 

@@ -4,6 +4,7 @@ from .profiling import (
     benchmark_solver,
     measure_memory_bandwidth,
     scan_cost_analysis,
+    state_payload_bytes,
     trace,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "IterationTimer",
     "benchmark_solver",
     "scan_cost_analysis",
+    "state_payload_bytes",
     "measure_memory_bandwidth",
 ]

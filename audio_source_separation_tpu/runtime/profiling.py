@@ -165,6 +165,29 @@ def scan_cost_analysis(solver, X, iteration=None, short=None):
     return cost.get("bytes accessed", 0.0), cost.get("flops", 0.0)
 
 
+def state_payload_bytes(solver, X):
+    """Conservative per-iteration HBM-traffic FLOOR: the byte size of the
+    full solver state (input, precomputed invariants, carried and derived
+    fields), i.e. the cost of touching every state array ONCE per
+    iteration.  Real traffic is at least this unless the working set stays
+    VMEM-resident across scan iterations; op-level totals
+    (:func:`scan_cost_analysis`) bound it from above (pre-fusion)."""
+    X = np.asarray(X)
+    solver.set_shape_metadata(X)
+    kwargs = solver.prepare_state_kwargs(X, {})
+    Xp = pack(X)
+    kwargs_p = pack({k: np.asarray(v) for k, v in kwargs.items()})
+    state_shapes = jax.eval_shape(
+        lambda Xp, kp: pack(solver.init_state(unpack(Xp), **unpack(kp))),
+        Xp,
+        kwargs_p,
+    )
+    return sum(
+        int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+        for leaf in jax.tree.leaves(state_shapes)
+    )
+
+
 def measure_memory_bandwidth(n_elems=1 << 26, iters=64, windows=4):
     """Empirical sustained HBM bandwidth (GB/s) via a scanned triad kernel
     (``y ← a·x + y``: 2 reads + 1 write of an ``n_elems`` f32 array per
