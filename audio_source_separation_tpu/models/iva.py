@@ -379,6 +379,15 @@ class AuxIVABase(IVABase):
         return self.algorithm_spatial == "ISS"
 
     @property
+    def derived_in_carry(self):
+        """Measured (round 3, canonical config): carrying the estimates in
+        the scan (with the layout-anchoring probe, see
+        :meth:`IterativeSolver.scan_probe`) is 2.6× for the component-IP
+        scan (8.3k → 21.5k iters/s) and NEUTRAL-TO-NEGATIVE for ISS (0.76×)
+        and the ILRMA/MNMF families (0.92-0.94×) — enabled for IP only."""
+        return self.algorithm_spatial in ("IP", "IP1", "IVA")
+
+    @property
     def _is_pairwise(self):
         return self.algorithm_spatial in ("pairwise", "IP2")
 

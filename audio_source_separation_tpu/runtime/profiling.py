@@ -72,26 +72,35 @@ def benchmark_solver(solver, X, iteration=30, warmup=True, short=None):
         def run(Xp, kwargs_p):
             state = solver.init_state(unpack(Xp), **unpack(kwargs_p))
             # same invariant/derived split as the solver runtime's scan
-            # (IterativeSolver._scan_fn): loop-invariant state threads into
-            # the body as closed-over tracers, derived state is re-derived
-            # at the body head instead of carried
+            # (IterativeSolver._scan_fn), including the derived_in_carry
+            # mode (derived fields ride in the carry but never reach the
+            # scan result)
             inv = {k: state[k] for k in solver.invariant_fields if k in state}
             derived = tuple(
                 k for k in solver.scan_derived_fields() if k in state
             )
+            carried_derived = solver.derived_in_carry
             var = {
                 k: v
                 for k, v in state.items()
-                if k not in inv and k not in derived
+                if k not in inv and (carried_derived or k not in derived)
             }
             var_keys = tuple(var)
 
             def body(s, _):
-                full = solver.update_state(solver.restore_state(dict(inv, **s)))
-                return {k: full[k] for k in var_keys}, jnp.zeros(())
+                full = dict(inv, **s)
+                if not carried_derived:
+                    full = solver.restore_state(full)
+                full = solver.update_state(full)
+                probe = solver.scan_probe(full)
+                out = jnp.zeros(()) if probe is None else probe
+                return {k: full[k] for k in var_keys}, out
 
-            var, _ = jax.lax.scan(body, var, None, length=n_iter)
-            return solver.nll(solver.restore_state(dict(inv, **var)))
+            var, ys = jax.lax.scan(body, var, None, length=n_iter)
+            true_state = {k: v for k, v in var.items() if k not in derived}
+            # ys must be a REAL jit output: a live per-iteration scan output
+            # is what anchors the carry layout (see IterativeSolver.scan_probe)
+            return solver.nll(solver.restore_state(dict(inv, **true_state))), ys
 
         return jax.jit(run)
 

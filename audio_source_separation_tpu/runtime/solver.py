@@ -269,6 +269,39 @@ class IterativeSolver:
     def _finalize_fn(self):
         return realify(self.finalize)
 
+    # Whether derived fields ride INSIDE the scan carry (updated by
+    # update_state like the raw kernels do) while staying OUT of the scan
+    # result, which is re-derived from the true state at the epilogue.  The
+    # round-2 pessimization ("full-state-out scan 3.6k vs 7.5k iters/s")
+    # came from a carried array that ALSO fed the scan output — its layout
+    # was pinned by the epilogue.  Dropping it from the RESULT (not from the
+    # carry) keeps XLA free to keep the estimates VMEM-resident across
+    # iterations while the body skips the per-iteration re-derivation.
+    # MEASURED (round 3, AuxIVA-IP canonical): carrying alone is neutral
+    # (0.96×); carrying PLUS the layout-anchoring scan probe below is 3.0×
+    # (7.8k → 23.8k iters/s).  Subclasses opt in per measurement.
+    derived_in_carry = False
+
+    def scan_probe(self, state):
+        """Optional cheap LIVE scalar emitted as the scan's per-iteration
+        output when loss recording is off (``None`` → emit zeros).
+
+        Measured TPU pathology (round 3, bisection on AuxIVA-IP at the
+        canonical config): with Pair inputs and no live per-iteration scan
+        output, XLA assigns the carried estimation a catastrophic layout —
+        the same program runs 7.8k iters/s without a live output and 23.8k
+        with ONE extra full reduction of the estimates per iteration.  The
+        probe is that reduction: it anchors the carry layout and costs one
+        (already traffic-resident) 15 MB read.  Only meaningful together
+        with :attr:`derived_in_carry` (the estimates must be carried for
+        their layout to be at stake)."""
+        if not self.derived_in_carry:
+            return None
+        Y = state.get("estimation")
+        if Y is None:
+            return None
+        return jnp.sum(jnp.abs(Y) ** 2)
+
     def _scan_fn(self, iteration, record_loss):
         def run(sp):
             state = unpack(sp)
@@ -278,15 +311,18 @@ class IterativeSolver:
             derived = tuple(
                 k for k in self.scan_derived_fields() if k in state
             )
+            carried_derived = self.derived_in_carry
             var = {
                 k: v
                 for k, v in state.items()
-                if k not in inv and k not in derived
+                if k not in inv and (carried_derived or k not in derived)
             }
             var_keys = tuple(var)
 
             def body(s, _):
-                full = self.restore_state(dict(inv, **s))
+                full = dict(inv, **s)
+                if not carried_derived:
+                    full = self.restore_state(full)
                 full = self.update_state(full)
                 # contract check (trace-time only): declared-invariant fields
                 # are closed over the body, NOT carried — if update_state
@@ -301,11 +337,18 @@ class IterativeSolver:
                             "field {!r}; remove it from invariant_fields (it "
                             "would be dropped from the scan carry)".format(k)
                         )
-                out = self.nll(full) if record_loss else jnp.zeros(())
+                if record_loss:
+                    out = self.nll(full)
+                else:
+                    probe = self.scan_probe(full)
+                    out = jnp.zeros(()) if probe is None else probe
                 return {k: full[k] for k in var_keys}, out
 
             var, losses = jax.lax.scan(body, var, None, length=iteration)
-            return pack(self.restore_state(dict(inv, **var))), losses
+            # derived fields never reach the scan RESULT: re-derive them from
+            # the true state so their carry layout is not output-pinned
+            true_state = {k: v for k, v in var.items() if k not in derived}
+            return pack(self.restore_state(dict(inv, **true_state))), losses
 
         return run
 

@@ -264,7 +264,14 @@ def main():
         "step in component layout — the cross-moments G = mean_t phi conj(y)",
         "become (F,)-plane frame reductions and the (N, F, T) <-> (F, N, T)",
         "transposes and tile-padded (F, C, C) deltas disappear",
-        "(ops/ip_components.py::natural_grad_step_components).",
+        "(ops/ip_components.py::natural_grad_step_components).  AuxIVA-IP's",
+        "solver runtime reached the raw kernel (8.1k -> 21.6k) via the",
+        "LAYOUT-ANCHORING PROBE: with Pair jit inputs and no live",
+        "per-iteration scan output XLA assigns the carried estimates a",
+        "catastrophic layout; carrying them in the scan (never in the scan",
+        "result) + one |Y|^2 reduction per iteration as a real jit output",
+        "restores the fast layout (runtime/solver.py::scan_probe; enabled",
+        "only where measured to win - see CLAUDE.md).",
         "Further IPSDTA levers: closed-form block",
         "eigenvalues/adjugate inverses, fused to_PSD/inv/sqrt chains,",
         "trace-cyclic re-derivations that never build rank-6 tensors,",
