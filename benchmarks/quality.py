@@ -120,6 +120,10 @@ def main():
     X = np.asarray(asst.stft(mixture, fft_size=fft_size, hop_size=hop))
     mixture4, images4 = make_fixture(mics=(2, 3, 4, 5))
     X4 = np.asarray(asst.stft(mixture4, fft_size=fft_size, hop_size=hop))
+    # 3 sources / 3 mics: exercises the C=3 closed-form adjugate/eigen paths
+    # (det/inv_planes, 3x3 IP solves) on real mixtures on the real backend
+    mixture3, images3 = make_fixture(degrees=(45, 180, 315), mics=(2, 4, 6))
+    X3 = np.asarray(asst.stft(mixture3, fft_size=fft_size, hop_size=hop))
 
     def sdri(Y, mix=None, imgs=None):
         mix = mixture if mix is None else mix
@@ -241,6 +245,18 @@ def main():
          lambda: TIPSDTA(n_basis=2, nu=1000, n_blocks=256, recordable_loss=False),
          (lambda: ref["ipsdta"].tIPSDTA(n_basis=2, nu=1000, n_blocks=256, recordable_loss=False)) if ref else None,
          {}),
+        ("AuxIVA-IP (3 src / 3 mic)", 50,
+         lambda: AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False),
+         (lambda: ref["iva"].AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)) if ref else None,
+         {"fixture": "3src"}),
+        ("GaussILRMA (3 src / 3 mic, K=4)", 50,
+         lambda: GaussILRMA(n_basis=4, recordable_loss=False),
+         (lambda: ref["ilrma"].GaussILRMA(n_basis=4, recordable_loss=False)) if ref else None,
+         {"fixture": "3src"}),
+        ("FastMNMF (3 src / 3 mic, K=4)", 50,
+         lambda: FastMultichannelISNMF(n_basis=4, recordable_loss=False),
+         (lambda: ref["mnmf"].FastMultichannelISNMF(n_basis=4, recordable_loss=False)) if ref else None,
+         {"fixture": "3src"}),
         ("OverAuxIVA (4 mics → 2 src)", 50,
          lambda: OverAuxLaplaceIVA(algorithm_spatial="IP", n_sources=2, recordable_loss=False),
          None,  # the reference's OverAuxLaplaceIVA body is unfinished
@@ -256,6 +272,8 @@ def main():
         mix, imgs, Xin = mixture, images, X
         if opts.get("fixture") == "4mic":
             mix, imgs, Xin = mixture4, images4, X4
+        elif opts.get("fixture") == "3src":
+            mix, imgs, Xin = mixture3, images3, X3
         callkw = opts["callkw"]() if "callkw" in opts else {}
         post = opts.get("post")
 
