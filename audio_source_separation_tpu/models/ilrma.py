@@ -328,6 +328,28 @@ class GaussILRMA(ILRMABase):
         n_bins, n_channels = W.shape[0], W.shape[-1]
         R = floor_below(self.source_variance(state), self.eps)
         R_mn = jnp.stack([jnp.take(R, m, axis=0), jnp.take(R, n, axis=0)])
+
+        # planes fast path (see models/iva.py::_update_pairwise)
+        planes = state.get("pair_products")
+        n_sources = W.shape[1]
+        if (
+            planes is not None
+            and self.guard in ("one_norm", "none")
+            and n_sources == n_channels <= 3
+        ):
+            from ..ops.ip_components import (
+                ip2_pair_update_planes,
+                weighted_covariance_planes_stack,
+            )
+
+            U_p = weighted_covariance_planes_stack(
+                planes, 1.0 / R_mn, flatten=self._covariance_flatten()
+            )
+            W = ip2_pair_update_planes(
+                W, U_p, m, n, threshold=self.threshold, guard=self.guard
+            )
+            return dict(state, demix_filter=W, estimation=self.separate(X, W))
+
         U_mn = self._weighted_covariance(state, 1.0 / R_mn)
         U_m, U_n = U_mn[0], U_mn[1]
 

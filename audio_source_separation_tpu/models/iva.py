@@ -481,6 +481,35 @@ class AuxIVABase(IVABase):
         Y_n = jnp.take(Y, n, axis=0)
         R_mn = self.source_weights(jnp.stack([Y_m, Y_n], axis=0))  # (2, T)
         R_mn = floor_below(R_mn, self.eps)
+
+        # planes fast path: the matrix IP2 chain materializes tile-padded
+        # (F, C, C)/(F, C, 2) tensors and two batched LU inverses per step
+        # (measured 262 iters/s vs >8k for the planes path)
+        planes = state.get("pair_products")
+        n_channels = W.shape[-1]
+        if (
+            planes is not None
+            and self.guard in ("one_norm", "none")
+            and n_sources == n_channels <= 3
+        ):
+            from ..ops.ip_components import (
+                ip2_pair_update_planes,
+                weighted_covariance_planes_stack,
+            )
+
+            U_p = weighted_covariance_planes_stack(
+                planes, 1.0 / R_mn, flatten=self._covariance_flatten()
+            )
+            W = ip2_pair_update_planes(
+                W, U_p, m, n, threshold=self.threshold, guard=self.guard
+            )
+            return dict(
+                state,
+                demix_filter=W,
+                estimation=self.separate(X, W),
+                step_count=k + 1,
+            )
+
         U_mn = self._weighted_covariance(state, 1.0 / R_mn)  # (2, F, C, C)
         U_m, U_n = U_mn[0], U_mn[1]
 

@@ -279,6 +279,149 @@ def log_abs_det_components(W_rows, n_channels):
     return jnp.log(jnp.abs(det))
 
 
+def weighted_covariance_planes_stack(planes, weights, flatten=True):
+    """Planes-output variant of :func:`weighted_covariance_components`:
+    ``U (N, C, C, F)`` complex — tiny axes leading, bins in the tile (for
+    the IP2 planes path)."""
+    P = planes.shape[0]
+    C = int(round(P**0.5))
+    index, _ = _plane_index(C)
+    n_sources = weights.shape[0]
+    out = _covariance_planes(planes, weights, flatten=flatten)
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.stack(
+                        [_assemble_entry(out, index, c, d, n) for d in range(C)]
+                    )
+                    for c in range(C)
+                ]
+            )
+            for n in range(n_sources)
+        ]
+    )  # (N, C, C, F)
+
+
+def ip2_pair_update_planes(W, U_mn, m, n, threshold=1e12, guard="one_norm"):
+    """Pairwise (IP2) update of demixing rows ``(m, n)`` with every per-bin
+    small-matrix quantity in planes layout and the batched LU inverses
+    replaced by adjugate closed forms (same math as the matrix path in
+    ``models/iva.py::_update_pairwise`` / reference ``bss/iva.py:566-599``).
+
+    The matrix formulation materializes a chain of ``(F, C, C)``/``(F, C, 2)``
+    tensors (tile-padded ~256×) and runs TWO batched LU inverses per step —
+    measured 262 iters/s at the canonical config vs >8,000 for the planes
+    path of the same cost class.
+
+    Args:
+        W: ``(F, N, C)`` demixing filter (square, C ≤ 3 for the closed
+            forms; callers dispatch).
+        U_mn: ``(2, C, C, F)`` weighted covariances for sources (m, n).
+        m, n: traced int32 scalars (the pair indices).
+        guard: 'one_norm' or 'none' (callers keep 'svd' on the matrix path).
+    Returns:
+        updated ``W`` (same shape).
+    """
+    from .fast_linalg import det_planes, inv_planes
+
+    n_channels = W.shape[-1]
+    C = n_channels
+    Wc = [[W[:, i, c] for c in range(C)] for i in range(C)]
+
+    # WU[p][i][j] = Σ_c W[i][c] U[p][c][j] — stacked (C, C, 2, F) for the
+    # planes det/inv duals (leading (n, n) axes)
+    WU = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    sum(Wc[i][c][None] * U_mn[:, c, j] for c in range(C))
+                    for j in range(C)
+                ]
+            )
+            for i in range(C)
+        ]
+    )  # (C_i, C_j, 2, F)
+    det = det_planes(WU)
+    inv = inv_planes(WU, det=det)  # (C, C, 2, F): inv[i][j] = WU^{-1}[i, j]
+
+    if guard == "none":
+        ok = None
+    else:
+        # κ₁ = ‖WU‖₁·‖WU⁻¹‖₁ (same semantics as ops.ip.cond_guard)
+        norm = jnp.max(jnp.sum(jnp.abs(WU), axis=0), axis=0)  # (2, F)
+        inv_norm = jnp.max(jnp.sum(jnp.abs(inv), axis=0), axis=0)
+        ok = norm * inv_norm < threshold  # (2, F)
+
+    # P[p] = WU_p^{-1} E_mn: columns m and n of the inverse → (C, 2cols, 2p, F)
+    P_cols = jnp.stack(
+        [jnp.take(inv, m, axis=1), jnp.take(inv, n, axis=1)], axis=1
+    )  # (C_i, 2cols, 2p, F)
+
+    # V[p][a][b] = Σ_{c,d} conj(P[c][a]) U_p[c][d] P[d][b] → per p a 2×2 of planes
+    UP = [
+        [
+            sum(U_mn[:, c, d] * P_cols[d, b] for d in range(C))
+            for b in range(2)
+        ]
+        for c in range(C)
+    ]  # UP[c][b] (2p, F)
+    V = [
+        [
+            sum(P_cols[c, a].conj() * UP[c][b] for c in range(C))
+            for b in range(2)
+        ]
+        for a in range(2)
+    ]  # V[a][b] (2p, F)
+
+    from .eig2 import generalized_eig2x2_descending_planes
+
+    Vm = [[V[a][b][0] for b in range(2)] for a in range(2)]
+    Vn = [[V[a][b][1] for b in range(2)] for a in range(2)]
+    v_m, v_n = generalized_eig2x2_descending_planes(Vm, Vn)
+
+    def normalize(v, Vp):
+        vVv = sum(
+            v[a].conj() * Vp[a][b] * v[b] for a in range(2) for b in range(2)
+        )
+        scale = jnp.sqrt(vVv)
+        return (v[0] / scale, v[1] / scale)
+
+    v_m = normalize(v_m, Vm)
+    v_n = normalize(v_n, Vn)
+
+    # w_p[c] = conj(Σ_a P_p[c][a] v_p[a]); P_p = P_cols[:, :, p]
+    w_m = jnp.stack(
+        [
+            (P_cols[c, 0, 0] * v_m[0] + P_cols[c, 1, 0] * v_m[1]).conj()
+            for c in range(C)
+        ],
+        axis=-1,
+    )  # (F, C)
+    w_n = jnp.stack(
+        [
+            (P_cols[c, 0, 1] * v_n[0] + P_cols[c, 1, 1] * v_n[1]).conj()
+            for c in range(C)
+        ],
+        axis=-1,
+    )
+    old_m = jnp.take(W, m, axis=1)
+    old_n = jnp.take(W, n, axis=1)
+    if ok is not None:
+        w_m = jnp.where(ok[0][:, None], w_m, old_m)
+        w_n = jnp.where(ok[1][:, None], w_n, old_n)
+    W = _dynamic_set_row(W, m, w_m)
+    W = _dynamic_set_row(W, n, w_n)
+    return W
+
+
+def _dynamic_set_row(W, idx, row):
+    """``W[:, idx, :] = row`` with a traced ``idx`` (one-hot blend — a
+    dynamic-update-slice on axis 1 would relayout the whole filter)."""
+    onehot = (jnp.arange(W.shape[1]) == idx)[None, :, None]
+    return jnp.where(onehot, row[:, None, :], W)
+
+
 def natural_grad_step_components(W_rows, Y, Phi, lr):
     """One natural-gradient step ``W ← W − lr·((Φ Y^H/T − I) W)`` in
     component layout (FDICA/IVA gradient families).

@@ -165,6 +165,8 @@ def main():
     configs = [
         ("AuxIVA-IP", 400, lambda: AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)),
         ("AuxIVA-ISS", 400, lambda: AuxLaplaceIVA(algorithm_spatial="ISS", recordable_loss=False)),
+        ("AuxIVA-IP2", 300, lambda: AuxLaplaceIVA(algorithm_spatial="IP2", recordable_loss=False)),
+        ("GaussILRMA-IP2 (K=10)", 300, lambda: GaussILRMA(n_basis=10, algorithm_spatial="IP2", recordable_loss=False)),
         ("GaussILRMA (K=10)", 300, lambda: GaussILRMA(n_basis=10, recordable_loss=False)),
         ("tILRMA (K=10)", 300, lambda: TILRMA(n_basis=10, nu=1000, recordable_loss=False)),
         ("FastMNMF (K=10)", 100, lambda: FastMultichannelISNMF(n_basis=10, recordable_loss=False)),
