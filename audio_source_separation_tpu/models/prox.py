@@ -125,10 +125,22 @@ class PDSBSSBase(IterativeSolver):
         g01 = sum(Wc[c][0].conj() * Wc[c][1] for c in range(2))
         mean = (g00 + g11) / 2
         rad = jnp.sqrt(((g00 - g11) / 2) ** 2 + jnp.abs(g01) ** 2)
-        lam1, lam2 = mean + rad, mean - rad  # descending, real
+        tiny = jnp.finfo(rad.dtype).tiny
+        lam1 = mean + rad  # largest, real
+        # λ2 = mean − rad cancels catastrophically when σ₂ ≪ σ₁ (λ₂ ≈ 1e-18
+        # is below f64's resolution of mean ≈ 0.5); the product form
+        # λ₁λ₂ = det G is exact to machine precision
+        detG = jnp.maximum(g00 * g11 - jnp.abs(g01) ** 2, 0.0)
+        lam2 = detG / jnp.maximum(lam1, tiny)
+
+        # h(λ)·σ = (σ+√(σ²+4μ))/2 is exact for ANY λ > 0 — only exact zeros
+        # need the guard, so floor at the dtype's tiny (an eps-level floor
+        # would bias the shrinkage for near-singular filters; exactly
+        # singular W is out of the prox's domain, as in the reference)
+        floor = jnp.sqrt(tiny)  # keeps 4μ/λ finite in the dtype
 
         def h(lam):
-            lam = jnp.maximum(lam, eps)
+            lam = jnp.maximum(lam, floor)
             return (1 + jnp.sqrt(1 + 4 * mu / lam)) / 2
 
         h1, h2 = h(lam1), h(lam2)

@@ -27,11 +27,16 @@ import jax
 
 from audio_source_separation_tpu.models import (
     AuxLaplaceIVA,
+    ConsistentGaussILRMA,
     FastMultichannelISNMF,
     GaussILRMA,
     GaussIPSDTA,
+    GradLaplaceIVA,
+    ISNMF,
     MultichannelISNMF,
     NaturalGradLaplaceFDICA,
+    NaturalGradLaplaceIVA,
+    ProxLaplaceIVA,
     TILRMA,
     TIPSDTA,
 )
@@ -172,7 +177,11 @@ def main():
         ("FastMNMF (K=10)", 100, lambda: FastMultichannelISNMF(n_basis=10, recordable_loss=False)),
         ("Sawada MNMF (K=10)", 100, lambda: MultichannelISNMF(n_basis=10, recordable_loss=False)),
         ("Ozerov MNMF (K=10)", 50, lambda: MultichannelISNMF(n_basis=10, author="Ozerov", recordable_loss=False)),
-        ("NatGradFDICA", 150, lambda: NaturalGradLaplaceFDICA(recordable_loss=False)),
+        ("NatGradFDICA", 400, lambda: NaturalGradLaplaceFDICA(recordable_loss=False)),
+        ("GradLaplaceIVA", 400, lambda: GradLaplaceIVA(recordable_loss=False)),
+        ("NatGradLaplaceIVA", 400, lambda: NaturalGradLaplaceIVA(recordable_loss=False)),
+        ("ProxLaplaceIVA", 400, lambda: ProxLaplaceIVA(recordable_loss=False)),
+        ("ConsistentILRMA (K=10)", 100, lambda: ConsistentGaussILRMA(n_basis=10, fft_size=4096, hop_size=2048, recordable_loss=False)),
         ("GaussIPSDTA Kondo (K=2)", 5, lambda: GaussIPSDTA(n_basis=2, author="Kondo", recordable_loss=False)),
         ("GaussIPSDTA Ikeshita (K=2)", 5, lambda: GaussIPSDTA(n_basis=2, author="Ikeshita", recordable_loss=False)),
         ("tIPSDTA Kondo (K=2)", 5, lambda: TIPSDTA(n_basis=2, nu=1000, recordable_loss=False)),
@@ -217,6 +226,22 @@ def main():
             print(json.dumps(rec), flush=True)
         except Exception as exc:  # noqa: BLE001 — record and continue
             print(json.dumps({"solver": name, "error": str(exc)[:200]}), flush=True)
+
+    # single-channel factorization on the power spectrogram (2-D target)
+    try:
+        P1 = (np.abs(X[0]) ** 2).astype(np.float32)
+        np.random.seed(111)
+        ips, compile_s = benchmark_solver(ISNMF(n_basis=10), P1, iteration=600)
+        np.random.seed(111)
+        try:
+            bytes_it, _ = scan_cost_analysis(ISNMF(n_basis=10), P1)
+            payload = state_payload_bytes(ISNMF(n_basis=10), P1)
+        except Exception:  # noqa: BLE001
+            bytes_it = payload = None
+        results.append(("ISNMF (K=10, 1 ch)", ips, compile_s, bytes_it, None, payload))
+        print(json.dumps({"solver": "ISNMF (K=10, 1 ch)", "iters_per_sec": round(ips, 2)}), flush=True)
+    except Exception as exc:  # noqa: BLE001
+        print(json.dumps({"solver": "ISNMF", "error": str(exc)[:200]}), flush=True)
 
     try:
         ips, compile_s = bench_idlma()

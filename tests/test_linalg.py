@@ -121,3 +121,62 @@ def test_matrix_divergences(rng):
         Y = random_psd(rng, 6, n=3)
         loss = np.asarray(div(X, Y))
         assert (loss >= -1e-6).all()
+
+
+# --------------------------------------------------------------------------- #
+# round-3 closed-form kernels: planes IP2 eig + SVD-free prox_logdet
+# --------------------------------------------------------------------------- #
+def test_eig2x2_planes_matches_matrix(rng):
+    from audio_source_separation_tpu.ops.eig2 import (
+        generalized_eig2x2_descending,
+        generalized_eig2x2_descending_planes,
+    )
+
+    Vm = rng.randn(64, 2, 2) + 1j * rng.randn(64, 2, 2)
+    Vm = Vm @ np.swapaxes(Vm, -2, -1).conj() + 0.1 * np.eye(2)
+    Vn = rng.randn(64, 2, 2) + 1j * rng.randn(64, 2, 2)
+    Vn = Vn @ np.swapaxes(Vn, -2, -1).conj() + 0.1 * np.eye(2)
+
+    v1, v2 = generalized_eig2x2_descending(Vm, Vn)
+    Vm_p = [[Vm[:, a, b] for b in range(2)] for a in range(2)]
+    Vn_p = [[Vn[:, a, b] for b in range(2)] for a in range(2)]
+    p1, p2 = generalized_eig2x2_descending_planes(Vm_p, Vn_p)
+    np.testing.assert_allclose(np.stack(p1, -1), np.asarray(v1), atol=1e-10)
+    np.testing.assert_allclose(np.stack(p2, -1), np.asarray(v2), atol=1e-10)
+
+
+def test_ip2_pair_update_planes_matches_matrix_path(rng):
+    """The planes IP2 kernel must reproduce the matrix-layout pairwise update
+    exactly (same guards, both role orders of the pair)."""
+    import jax.numpy as jnp
+
+    from audio_source_separation_tpu.models import AuxLaplaceIVA
+
+    X = (rng.randn(2, 33, 24) + 1j * rng.randn(2, 33, 24)).astype(np.complex128)
+    X = np.einsum("cn,nft->cft", np.array([[1.0, 0.7], [0.6, 1.0]]), X)
+
+    out = {}
+    for guard in ("one_norm", "svd"):  # svd forces the matrix fallback
+        solver = AuxLaplaceIVA(algorithm_spatial="IP2", guard=guard)
+        out[guard] = solver(X, iteration=5)
+        out[guard + "_W"] = np.asarray(solver.demix_filter)
+    np.testing.assert_allclose(out["one_norm"], out["svd"], atol=1e-8)
+    np.testing.assert_allclose(out["one_norm_W"], out["svd_W"], atol=1e-8)
+
+
+def test_prox_logdet_planes_matches_svd(rng):
+    import jax.numpy as jnp
+
+    from audio_source_separation_tpu.models import ProxLaplaceIVA
+
+    solver = ProxLaplaceIVA()
+    W = jnp.asarray(rng.randn(57, 2, 2) + 1j * rng.randn(57, 2, 2))
+    # include a near-singular matrix and a diagonal one (degenerate eigvec path)
+    W = W.at[0].set(jnp.array([[1.0, 0.0], [0.0, 1e-9]], dtype=W.dtype))
+    W = W.at[1].set(jnp.array([[2.0, 0.0], [0.0, 0.5]], dtype=W.dtype))
+    for mu in (0.3, 1.0, 4.0):
+        planes = np.asarray(solver._prox_logdet_planes_2x2(W, mu))
+        U, s, V = np.linalg.svd(np.asarray(W))
+        s = (s + np.sqrt(s**2 + 4 * mu)) / 2
+        svd = (U * s[:, None, :]) @ V
+        np.testing.assert_allclose(planes, svd, atol=1e-7)
