@@ -383,9 +383,11 @@ class AuxIVABase(IVABase):
         """Measured (round 3, canonical config): carrying the estimates in
         the scan (with the layout-anchoring probe, see
         :meth:`IterativeSolver.scan_probe`) is 2.6× for the component-IP
-        scan (8.3k → 21.5k iters/s) and NEUTRAL-TO-NEGATIVE for ISS (0.76×)
-        and the ILRMA/MNMF families (0.92-0.94×) — enabled for IP only."""
-        return self.algorithm_spatial in ("IP", "IP1", "IVA")
+        scan (8.3k → 22.3k iters/s) and 4.3× for the planes-IP2 scan
+        (3.8k → 16.4k), but NEUTRAL-TO-NEGATIVE for ISS (0.76×) and the
+        ILRMA/MNMF families (0.87-0.94×) — enabled for IP and IP2/pairwise
+        here only."""
+        return self.algorithm_spatial in ("IP", "IP1", "IVA", "IP2", "pairwise")
 
     @property
     def _is_pairwise(self):
