@@ -558,25 +558,14 @@ class MultichannelISNMF(MultichannelNMFBase):
                 for s in range(S)
             ]
         )  # (S, F, T)
-        # σ_c[s, k](f, t) = W[s, f, k]·H[s, k, t]; U stays (S, K) planes
-        U_p = [
-            [
-                (
-                    jnp.abs(
-                        (W[s, :, k][:, None] * H[s, k][None, :]).astype(A.dtype)
-                        * aSx[s]
-                    )
-                    ** 2
-                    + (
-                        1
-                        - (W[s, :, k][:, None] * H[s, k][None, :]) * aSa[s].real
-                    )
-                    * (W[s, :, k][:, None] * H[s, k][None, :])
-                ).real
-                for k in range(K)
-            ]
-            for s in range(S)
-        ]
+        # σ_c[s, k](f, t) = W[s, f, k]·H[s, k, t];
+        # U = σ²·|aSx|² + (1 − σ·aSa)·σ = σ²·B + σ with
+        # B = |aSx|² − Re(aSa) — so the (S·K) component posteriors NEVER
+        # need materializing: the MU ratios below collapse algebraically
+        # (U/H = W + W²·H·B), turning the former per-(s, k) Python-looped
+        # (F, T) planes (~77 MB/iteration of U_p buffers, read twice) into
+        # two (S, K)-contraction GEMMs over the single B plane
+        B_post = jnp.abs(aSx) ** 2 - aSa.real  # (S, F, T) real
 
         # M step (``mnmf.py:357-375``)
         A_new = jnp.swapaxes(
@@ -614,45 +603,30 @@ class MultichannelISNMF(MultichannelNMFBase):
             s1 = self.annealing_end * self._anneal_base
             level = s0 * (s1 / s0) ** frac
             sigma_b = jnp.maximum(sigma_b, level)
-        # documented divergence: the reference's unfinished Ozerov M step
-        # divides by UNFLOORED W/H (``mnmf.py:361``); on real mixtures in
-        # float32 the unfloored division feeds a W↓/H↑ scale runaway that
-        # overflows within a few iterations (reproduced with the reference
-        # math) — the eps floor below matches the flooring the reference
-        # applies everywhere else and is a no-op on healthy trajectories
-        W_new = jnp.stack(
-            [
-                jnp.stack(
-                    [
-                        (U_p[s][k] / floor_below(H[s, k], self.eps)[None, :]).mean(
-                            axis=-1
-                        )
-                        for k in range(K)
-                    ],
-                    axis=-1,
-                )
-                for s in range(S)
-            ]
-        )  # (S, F, K)
+        # W update: mean_t U/H = W + W²·mean_t(H·B) EXACTLY (the division
+        # by H cancels algebraically — no floored division needed at all,
+        # which is strictly more stable than the previous eps-floored form)
+        n_frames = B_post.shape[-1]
+        n_bins = W.shape[1]
+        C1 = jnp.einsum("skt,sft->sfk", H, B_post) / n_frames  # (S, F, K)
+        W_new = W + W**2 * C1  # (S, F, K)
         # documented divergence: the reference updates H from the OLD W
         # (simultaneous update, ``mnmf.py:361``), which is not a valid
         # (generalized) M step — on real mixtures the NLL increases from the
         # first iteration and the factors run away.  Updating H from the NEW
         # W makes both halves exact coordinate minimizers of the M-step
-        # objective Σ [U/σ_c + log σ_c], restoring monotone descent.
-        H_new = jnp.stack(
-            [
-                jnp.stack(
-                    [
-                        (
-                            U_p[s][k]
-                            / floor_below(W_new[s, :, k], self.eps)[:, None]
-                        ).mean(axis=0)
-                        for k in range(K)
-                    ]
-                )
-                for s in range(S)
-            ]
+        # objective Σ [U/σ_c + log σ_c], restoring monotone descent.  The
+        # numerator's σ still carries the OLD W, so
+        # mean_f U/W_new = H²·mean_f(W²B/W_new) + H·mean_f(W/W_new); the
+        # division by W_new keeps the eps floor (documented divergence from
+        # the reference's unfloored division, a no-op on healthy
+        # trajectories).
+        Wf = floor_below(W_new, self.eps)
+        D_ratio = W**2 / Wf  # (S, F, K)
+        E_ratio = W / Wf
+        H_new = (
+            H**2 * (jnp.einsum("sfk,sft->skt", D_ratio, B_post) / n_bins)
+            + H * jnp.mean(E_ratio, axis=1)[:, :, None]
         )  # (S, K, T)
 
         if self.normalize:
