@@ -372,6 +372,13 @@ def main():
         "  is the eigen-chain intermediates' real traffic plus the serial",
         "  sweep's latency, the two structural terms the planes layout",
         "  cannot remove.  (Round-over-round: 0.19 → 16.6 → 84.6 iters/s.)",
+        "- **ILRMA family (~30% floor) / FastMNMF (~10% floor)**: the floor counts",
+        "  STATE arrays only; their NMF MU sweeps read/write K-factor model",
+        "  intermediates (TV reconstructions, per-channel powers) that are not state",
+        "  — the op-level column shows ~10× the floor, and the measured time matches",
+        "  that op-level traffic after typical fusion at the measured bandwidth.",
+        "  These rows sit at their real traffic bound, not at an optimization gap",
+        "  (probe/carry variants measured 0.87–1.02×).",
         "- **Ozerov MNMF**: the EM's U_p component posteriors are S·K (F, T)",
         "  planes recomputed for the W and H halves of the M step (sequential",
         "  by the fixed-point structure); its floor treats them as state they",
