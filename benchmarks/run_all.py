@@ -379,10 +379,12 @@ def main():
         "  that op-level traffic after typical fusion at the measured bandwidth.",
         "  These rows sit at their real traffic bound, not at an optimization gap",
         "  (probe/carry variants measured 0.87–1.02×).",
-        "- **Ozerov MNMF**: the EM's U_p component posteriors are S·K (F, T)",
-        "  planes recomputed for the W and H halves of the M step (sequential",
-        "  by the fixed-point structure); its floor treats them as state they",
-        "  are not — effective traffic is ~K× the state floor (see `XLA op MB`).",
+        "- **Ozerov MNMF**: bound by its E step — the full posterior machinery",
+        "  (Σx planes, their inverses, the Wiener gains and sufficient statistics,",
+        "  each a (C·C/S·C, F, T) complex tensor) is ~1.4 GB of real traffic per",
+        "  iteration.  The former U_p posterior planes were eliminated by the exact",
+        "  algebraic collapse U/H = W + W²·H·B (round 3, +5% — confirming the",
+        "  E step, not the M step, is the cost).",
         "- **Sawada MNMF**: runs with float32 matmul precision — bf16",
         "  multiplies NaN the EM after ~40 iterations (QUALITY.md sweep);",
         "  full-precision trace/Riccati contractions cost ~2× its bf16 rate",
