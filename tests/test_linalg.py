@@ -180,3 +180,45 @@ def test_prox_logdet_planes_matches_svd(rng):
         s = (s + np.sqrt(s**2 + 4 * mu)) / 2
         svd = (U * s[:, None, :]) @ V
         np.testing.assert_allclose(planes, svd, atol=1e-7)
+
+
+def test_layout_probe_configuration_guard(rng):
+    """The layout-anchoring probe (RESULTS.md: 3x on AuxIVA-IP) is a
+    class-default contract — guard it so a refactor cannot silently disable
+    the fast configuration."""
+    import jax.numpy as jnp
+
+    from audio_source_separation_tpu.models import AuxLaplaceIVA, GaussILRMA
+
+    ip = AuxLaplaceIVA(algorithm_spatial="IP")
+    ip2 = AuxLaplaceIVA(algorithm_spatial="IP2")
+    iss = AuxLaplaceIVA(algorithm_spatial="ISS")
+    assert ip.derived_in_carry and ip2.derived_in_carry
+    assert not iss.derived_in_carry  # measured 0.76x — must stay off
+    assert not GaussILRMA(n_basis=2).derived_in_carry  # measured 0.94x
+
+    # the probe must be a LIVE reduction of the estimates when enabled
+    state = {"estimation": jnp.ones((2, 5, 4), dtype=jnp.complex128)}
+    probe = ip.scan_probe(state)
+    assert probe is not None and probe.shape == ()
+    assert iss.scan_probe(state) is None
+
+
+def test_weighted_covariance_planes_stack_matches_components(rng):
+    from audio_source_separation_tpu.ops.ip_components import (
+        pair_products_planes,
+        weighted_covariance_components,
+        weighted_covariance_planes_stack,
+    )
+
+    X = rng.randn(2, 17, 12) + 1j * rng.randn(2, 17, 12)
+    planes = pair_products_planes(X)
+    w = np.abs(rng.randn(2, 12)) + 0.1
+    comp = weighted_covariance_components(planes, 1.0 / w)
+    stack = np.asarray(weighted_covariance_planes_stack(planes, 1.0 / w))
+    for n in range(2):
+        for c in range(2):
+            for d in range(2):
+                np.testing.assert_allclose(
+                    stack[n, c, d], np.asarray(comp[n][c][d]), atol=1e-12
+                )
