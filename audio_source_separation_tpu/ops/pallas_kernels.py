@@ -68,29 +68,29 @@ def _weighted_covariance_pallas(Xr, Xi, w, f_tile=256, interpret=False):
         pl.BlockSpec(
             (n_channels, f_tile, n_frames),
             lambda i: (0, i, 0),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            memory_space=pl.ANY if interpret else pltpu.VMEM,
         ),
         pl.BlockSpec(
             (n_channels, f_tile, n_frames),
             lambda i: (0, i, 0),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            memory_space=pl.ANY if interpret else pltpu.VMEM,
         ),
         pl.BlockSpec(
             (n_frames, n_sources),
             lambda i: (0, 0),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            memory_space=pl.ANY if interpret else pltpu.VMEM,
         ),
     ]
     out_specs = [
         pl.BlockSpec(
             (n_sources, f_tile, n_channels, n_channels),
             lambda i: (0, i, 0, 0),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            memory_space=pl.ANY if interpret else pltpu.VMEM,
         ),
         pl.BlockSpec(
             (n_sources, f_tile, n_channels, n_channels),
             lambda i: (0, i, 0, 0),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            memory_space=pl.ANY if interpret else pltpu.VMEM,
         ),
     ]
     ur, ui = pl.pallas_call(
