@@ -183,16 +183,19 @@ def test_grad_fdica_matches_reference(rng, reference_modules, reference_more):
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-8)
 
 
-def test_tilrma_matches_reference(rng, reference_modules):
+@pytest.mark.parametrize("nu", [100, 1])
+def test_tilrma_matches_reference(rng, reference_modules, nu):
+    """nu=1 is the reference's DEFAULT (`/root/reference/src/bss/ilrma.py:718`,
+    Cauchy-tailed) — parity where the t-model is genuinely non-Gaussian."""
     _, ref_ilrma = reference_modules
     from audio_source_separation_tpu.models import TILRMA
 
     X = _mixture(rng)
     np.random.seed(111)
-    ref_solver = ref_ilrma.tILRMA(n_basis=3, nu=100)
+    ref_solver = ref_ilrma.tILRMA(n_basis=3, nu=nu)
     ref_out = ref_solver(X.copy(), iteration=10)
     np.random.seed(111)
-    solver = TILRMA(n_basis=3, nu=100)
+    solver = TILRMA(n_basis=3, nu=nu)
     out = solver(X, iteration=10)
     np.testing.assert_allclose(
         np.asarray(solver.loss), np.asarray(ref_solver.loss), rtol=1e-7
@@ -241,6 +244,7 @@ def test_sawada_mnmf_matches_reference(rng, reference_modules, reference_more):
         ("KLNMF", {}),
         ("ISNMF", {}),
         ("tNMF", {"nu": 100.0}),
+        ("tNMF", {"nu": 1.0}),  # the reference's default nu (Cauchy-tailed)
         ("CauchyNMF", {"algorithm": "mm"}),
     ],
 )
@@ -397,7 +401,9 @@ def test_idlma_matches_reference(rng, reference_modules):
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4)
 
 
-def test_tipsdta_matches_reference(rng, reference_modules):
+@pytest.mark.parametrize("nu", [100.0, 1.0])
+def test_tipsdta_matches_reference(rng, reference_modules, nu):
+    """nu=1 is the reference's DEFAULT (`/root/reference/src/bss/ipsdta.py:1089`)."""
     sys.path.insert(0, REFERENCE_SRC)
     try:
         import bss.ipsdta as ref_ipsdta
@@ -407,10 +413,10 @@ def test_tipsdta_matches_reference(rng, reference_modules):
 
     X = _mixture(rng, n_bins=8, n_frames=10)
     np.random.seed(111)
-    ref_solver = ref_ipsdta.tIPSDTA(n_basis=2, nu=100.0, author="Kondo", n_blocks=4)
+    ref_solver = ref_ipsdta.tIPSDTA(n_basis=2, nu=nu, author="Kondo", n_blocks=4)
     ref_out = ref_solver(X.copy(), iteration=3)
     np.random.seed(111)
-    solver = TIPSDTA(n_basis=2, nu=100.0, author="Kondo", n_blocks=4)
+    solver = TIPSDTA(n_basis=2, nu=nu, author="Kondo", n_blocks=4)
     out = solver(X, iteration=3)
     np.testing.assert_allclose(
         np.asarray(solver.loss), np.asarray(ref_solver.loss), rtol=1e-5
