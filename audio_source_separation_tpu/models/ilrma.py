@@ -516,6 +516,8 @@ class TILRMA(ILRMABase):
         callbacks=None,
         recordable_loss=True,
         eps=EPS,
+        threshold=THRESHOLD,
+        guard="one_norm",
     ):
         super().__init__(
             n_basis=n_basis,
@@ -530,6 +532,8 @@ class TILRMA(ILRMABase):
         self.nu = nu
         self.domain = domain
         self.reference_id = reference_id
+        self.threshold = threshold
+        self.guard = guard
 
     def source_variance(self, state):
         # t-ILRMA uses R = TV directly in the spatial weights (``ilrma.py:959``)
@@ -561,8 +565,21 @@ class TILRMA(ILRMABase):
         return dict(state, basis=T, activation=V)
 
     def _update_spatial(self, state):
-        """Posterior-weighted IP: ``Xi = (νR + 2P)/(ν+2)`` (``ilrma.py:961-989``);
-        no condition guard (the reference floors the denominator instead)."""
+        """Posterior-weighted IP: ``Xi = (νR + 2P)/(ν+2)`` (``ilrma.py:961-989``)
+        with the reference's denominator floor, on the shared guarded sweep.
+
+        Documented divergence: the reference runs UNGUARDED (NumPy float64).
+        At float32 the reference-default ``nu=1`` drives the posterior
+        weights ``1/Xi`` across ~10 decades; ``det(W U)`` then cancels
+        catastrophically (observed exact zeros → inf rows → NaN at
+        iteration ~70 on the quality fixture).  The standard κ₁ condition
+        guard keeps the previous row exactly where the update direction is
+        numerical noise — in float64 those are the bins whose update the
+        reference computes from rounding error anyway.  ``guard="none"``
+        restores the raw reference behavior.
+        """
+        from ..ops.ip import ip_update
+
         nu, eps = self.nu, self.eps
         X, W = state["input"], state["demix_filter"]
         Y = state["estimation"]  # == separate(X, W) (update invariant)
@@ -571,51 +588,28 @@ class TILRMA(ILRMABase):
         Xi = (nu * R + 2 * P) / (nu + 2)
 
         planes = state.get("pair_products")
-        n_sources, n_channels = W.shape[1], W.shape[2]
-        if planes is not None and n_channels <= 4:
-            # component layout (lane-friendly, see ops/ip_components.py)
-            from ..ops.ip_components import (
-                det_components,
-                solve_column_components,
-                weighted_covariance_components,
+        n_channels = W.shape[2]
+        if (
+            planes is not None
+            and self.guard in ("one_norm", "none")
+            and n_channels <= 4
+        ):
+            from ..ops.ip_components import ip_sweep_from_planes
+
+            W = ip_sweep_from_planes(
+                W,
+                planes,
+                1.0 / Xi,
+                threshold=self.threshold,
+                guard=self.guard,
+                flatten=self._covariance_flatten(),
+                denom_floor=eps,
             )
-
-            U = weighted_covariance_components(planes, 1.0 / Xi)
-            W_rows = [
-                [W[:, s, c] for c in range(n_channels)] for s in range(n_sources)
-            ]
-            for n in range(n_sources):
-                U_n = U[n]
-                WU = [
-                    [
-                        sum(W_rows[s][c] * U_n[c][j] for c in range(n_channels))
-                        for j in range(n_channels)
-                    ]
-                    for s in range(n_sources)
-                ]
-                w = solve_column_components(
-                    WU, n_channels, n, det=det_components(WU, n_channels)
-                )
-                Uw = [
-                    sum(U_n[c][d] * w[d] for d in range(n_channels))
-                    for c in range(n_channels)
-                ]
-                wUw = sum((w[c].conj() * Uw[c]).real for c in range(n_channels))
-                denominator = floor_below(jnp.sqrt(wUw), eps)
-                for c in range(n_channels):
-                    W_rows[n][c] = w[c].conj() / denominator
-            W = jnp.stack([jnp.stack(row, axis=-1) for row in W_rows], axis=1)
-            return dict(state, demix_filter=W, estimation=self.separate(X, W))
-
-        U = self._weighted_covariance(state, 1.0 / Xi)
-        for n in range(n_sources):
-            U_n = U[n]
-            WU = W @ U_n
-            WU_inv = jnp.linalg.inv(WU)
-            w = WU_inv[..., :, n]
-            wUw = jnp.einsum("fc,fcd,fd->f", w.conj(), U_n, w)
-            denominator = floor_below(jnp.sqrt(wUw).real, eps)
-            W = W.at[:, n, :].set(w.conj() / denominator[:, None])
+        else:
+            U = self._weighted_covariance(state, 1.0 / Xi)
+            W = ip_update(
+                W, U, threshold=self.threshold, guard=self.guard, denom_floor=eps
+            )
         return dict(state, demix_filter=W, estimation=self.separate(X, W))
 
     def _normalize_state(self, state):

@@ -40,13 +40,29 @@ def cond_guard(A, A_inv=None, threshold=1e12, guard="one_norm"):
     raise ValueError("Unknown guard {!r}".format(guard))
 
 
-def ip_update(W, U, threshold=1e12, guard="one_norm"):
+def psd_quadratic_form(U, w):
+    """``w^H U w`` for Hermitian PSD ``U (..., C, C)``, ``w (..., C)`` —
+    computed from the eigendecomposition with clamped eigenvalues,
+    ``Σ_i max(λ_i, 0)·|v_i^H w|²``: a sum of non-negative terms, so f32
+    catastrophic cancellation (extreme source-model weights, e.g. tILRMA at
+    ``nu=1``) can cost accuracy but never flip the sign and NaN the
+    ``sqrt``.  Matrix-layout dual of
+    ``ip_components.cholesky_quadratic_components``.
+    """
+    lam, V = jnp.linalg.eigh(U)
+    proj = jnp.einsum("...ci,...c->...i", V.conj(), w)
+    return jnp.sum(jnp.maximum(lam, 0.0) * jnp.abs(proj) ** 2, axis=-1)
+
+
+def ip_update(W, U, threshold=1e12, guard="one_norm", denom_floor=None):
     """One full IP sweep over all sources.
 
     Args:
         W: demixing filters ``(n_bins, n_sources, n_channels)`` (rows are
             ``w_n^H`` as in the reference).
         U: weighted covariances ``(n_sources, n_bins, n_channels, n_channels)``.
+        denom_floor: optional floor on ``sqrt(w^H U w)`` (t-family reference
+            semantics, ``bss/ilrma.py:981``).
     Returns:
         updated ``W`` (same shape).
 
@@ -69,7 +85,8 @@ def ip_update(W, U, threshold=1e12, guard="one_norm"):
             for n in range(n_sources)
         ]
         W_rows = ip_update_components(
-            W_rows, U_comp, threshold=threshold, guard=guard
+            W_rows, U_comp, threshold=threshold, guard=guard,
+            denom_floor=denom_floor,
         )
         return jnp.stack(
             [jnp.stack(row, axis=-1) for row in W_rows], axis=1
@@ -80,8 +97,10 @@ def ip_update(W, U, threshold=1e12, guard="one_norm"):
         WU_inv = batched_inv(WU)
         w_n = WU_inv[..., :, n]  # = solve(WU, e_n): (n_bins, C)
         ok = cond_guard(WU, WU_inv, threshold=threshold, guard=guard)
-        wUw = jnp.einsum("fc,fcd,fd->f", w_n.conj(), U_n, w_n)
+        wUw = psd_quadratic_form(U_n, w_n)
         denominator = jnp.sqrt(wUw)
+        if denom_floor is not None:
+            denominator = jnp.maximum(denominator, denom_floor)
         w_n_hermite = w_n.conj() / denominator[:, None]
         W = W.at[:, n, :].set(jnp.where(ok[:, None], w_n_hermite, W[:, n, :]))
     return W

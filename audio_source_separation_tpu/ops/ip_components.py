@@ -131,7 +131,8 @@ def weighted_covariance_planes_array(planes, weights, flatten=True):
 
 
 def ip_sweep_from_planes(
-    W, planes, inv_weights, threshold=1e12, guard="one_norm", flatten=True
+    W, planes, inv_weights, threshold=1e12, guard="one_norm", flatten=True,
+    denom_floor=None,
 ):
     """Fused covariance + IP sweep fully in component land.
 
@@ -139,13 +140,17 @@ def ip_sweep_from_planes(
         W: demixing filters ``(F, N, C)`` (public layout).
         planes: from :func:`pair_products_planes`.
         inv_weights: ``(N, T)`` or ``(N, F, T)`` reciprocal variances.
+        denom_floor: optional floor on the ``sqrt(w^H U w)`` normalizer
+            (the t-family's reference semantics, ``bss/ilrma.py:981``).
     Returns:
         updated ``W (F, N, C)``.
     """
     n_sources, n_channels = W.shape[1], W.shape[2]
     U = weighted_covariance_components(planes, inv_weights, flatten=flatten)
     W_rows = [[W[:, s, c] for c in range(n_channels)] for s in range(n_sources)]
-    W_rows = ip_update_components(W_rows, U, threshold=threshold, guard=guard)
+    W_rows = ip_update_components(
+        W_rows, U, threshold=threshold, guard=guard, denom_floor=denom_floor
+    )
     return jnp.stack([jnp.stack(row, axis=-1) for row in W_rows], axis=1)
 
 
@@ -209,11 +214,55 @@ def solve_column_components(M, n, col, det=None):
     return out
 
 
-def ip_update_components(W_rows, U, threshold=1e12, guard="one_norm"):
+def cholesky_quadratic_components(U_n, w, tiny=1e-32):
+    """``w^H U w`` for a Hermitian PSD ``U`` in component layout, computed as
+    ``‖L^H w‖²`` via a closed-form Cholesky — a sum of squares, non-negative
+    by construction.
+
+    The direct sum ``Σ w_c* U_cd w_d`` catastrophically cancels in float32
+    when the source-model weights are extreme: tILRMA at the reference
+    default ``nu=1`` produces ``1/Xi`` spanning ~10 decades, the covariance
+    entries reach ~1e3 with ``w`` ~1e2, and the O(1e8) products cancel to an
+    O(1) result — the f32 rounding noise then flips ``wUw`` negative and
+    ``sqrt`` NaNs the whole filter (observed at iteration ~70 on the quality
+    fixture).  Factoring first keeps every term non-negative; the inner
+    cancellations happen inside ``|·|²`` and can only cost relative accuracy,
+    never the sign.
+
+    ``U_n[c][d]``: complex ``(F,)`` planes (Hermitian: ``U[d][c] = U[c][d]*``);
+    ``w``: list of C complex ``(F,)`` components.  Zero pivots (clamped Schur
+    complements of a numerically rank-deficient PSD matrix) zero their column,
+    the exact completion for PSD inputs.
+    """
+    C = len(w)
+    L = [[None] * C for _ in range(C)]
+    for j in range(C):
+        s = U_n[j][j].real - sum(jnp.abs(L[j][k]) ** 2 for k in range(j))
+        s = jnp.maximum(s, 0.0)
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        if j + 1 < C:
+            d_safe = jnp.maximum(d, tiny)
+            for i in range(j + 1, C):
+                off = U_n[i][j] - sum(
+                    L[i][k] * jnp.conj(L[j][k]) for k in range(j)
+                )
+                L[i][j] = jnp.where(s > 0, off / d_safe, 0.0)
+    wUw = None
+    for i in range(C):
+        t = sum(jnp.conj(L[j][i]) * w[j] for j in range(i, C))
+        term = jnp.abs(t) ** 2
+        wUw = term if wUw is None else wUw + term
+    return wUw
+
+
+def ip_update_components(W_rows, U, threshold=1e12, guard="one_norm", denom_floor=None):
     """IP sweep in component layout; same semantics as ``ops.ip.ip_update``.
 
     ``W_rows[s][c]``: complex ``(F,)`` (mutated functionally);
     ``U[n][c][d]``: complex ``(F,)``.
+    ``denom_floor``: optional floor on ``sqrt(w^H U w)`` (reference t-ILRMA
+    floors it at eps, ``bss/ilrma.py:981``; the Gauss family does not).
     Returns the updated nested list.
     """
     n_sources = len(W_rows)
@@ -255,13 +304,12 @@ def ip_update_components(W_rows, U, threshold=1e12, guard="one_norm"):
             ).max(axis=0)
             ok = norm * inv_norm < threshold
 
-        # w^H U_n w
-        Uw = [
-            sum(U_n[c][d] * w_n[d] for d in range(n_channels))
-            for c in range(n_channels)
-        ]
-        wUw = sum((w_n[c].conj() * Uw[c]).real for c in range(n_channels))
+        # w^H U_n w — Cholesky sum-of-squares form (f32-safe, see
+        # cholesky_quadratic_components)
+        wUw = cholesky_quadratic_components(U_n, w_n)
         denom = jnp.sqrt(wUw)
+        if denom_floor is not None:
+            denom = jnp.maximum(denom, denom_floor)
         for c in range(n_channels):
             new_c = w_n[c].conj() / denom
             if ok is not None:

@@ -217,3 +217,27 @@ def test_ilrma_stubs_raise():
         GGDILRMA(n_basis=2)
     with pytest.raises(NotImplementedError):
         KLILRMA(n_basis=2)
+
+
+def test_tilrma_nu1_float32_long_run_stays_finite(rng):
+    """The reference default nu=1 at float32 (the TPU production dtype): the
+    posterior weights span ~10 decades and the unguarded IP sweep NaN'd
+    around iteration 70 on realistic mixtures (round-4 fix: Cholesky
+    quadratic form + κ₁ guard + reference denominator floor).  Long f32 run
+    must stay finite with a finite non-increasing-ish loss."""
+    S = rng.randn(2, 33, 48) * np.abs(rng.randn(2, 1, 48)) + 1j * rng.randn(2, 33, 48)
+    A = np.array([[1.0, 0.7], [0.6, 1.0]])
+    X = np.einsum("cn,nft->cft", A, S).astype(np.complex64)
+
+    np.random.seed(111)
+    solver = TILRMA(n_basis=3, nu=1, recordable_loss=True)
+    kwargs = {
+        "basis": np.random.rand(2, 33, 3).astype(np.float32),
+        "activation": np.random.rand(2, 3, 48).astype(np.float32),
+    }
+    Y = np.asarray(solver(X, iteration=150, **kwargs))
+    assert np.isfinite(Y).all()
+    # the t-NLL is not strictly monotone at f32 precision on noise-like
+    # mixtures (guarded rows + rounding) — the regression target is
+    # finiteness, the pre-fix run NaN'd
+    assert np.isfinite(np.asarray(solver.loss)).all()

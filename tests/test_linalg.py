@@ -222,3 +222,77 @@ def test_weighted_covariance_planes_stack_matches_components(rng):
                 np.testing.assert_allclose(
                     stack[n, c, d], np.asarray(comp[n][c][d]), atol=1e-12
                 )
+
+
+def test_cholesky_quadratic_components_f32_nonnegative(rng):
+    """The direct quadratic form w^H U w catastrophically cancels in float32
+    (tILRMA nu=1 weights: O(1e8) terms cancel to O(1) — observed NaN at
+    iteration ~70 on the quality fixture); the Cholesky sum-of-squares form
+    must stay non-negative and match float64 on well-conditioned input."""
+    import jax.numpy as jnp
+
+    from audio_source_separation_tpu.ops.ip_components import (
+        cholesky_quadratic_components,
+    )
+
+    F = 64
+    a = (rng.randn(2, F) + 1j * rng.randn(2, F)).astype(np.complex64) * 1e4
+    U = [
+        [
+            (a[c] * a[d].conj() + (1.0 if c == d else 0.0)).astype(np.complex64)
+            for d in range(2)
+        ]
+        for c in range(2)
+    ]
+    # w ⊥ a: the true value is the tiny |w|²·jitter, buried under the
+    # O(1e8) products — the direct sum goes NEGATIVE on ~half the bins here
+    w = [np.conj(a[1]), -np.conj(a[0])]
+    w = [(x / np.abs(a).max()).astype(np.complex64) for x in w]
+
+    direct = sum(
+        (np.conj(w[c]) * sum(U[c][d] * w[d] for d in range(2))).real
+        for c in range(2)
+    )
+    assert (direct < 0).any(), "fixture no longer exercises the cancellation"
+
+    chol = np.asarray(
+        cholesky_quadratic_components(
+            [[jnp.asarray(U[c][d]) for d in range(2)] for c in range(2)],
+            [jnp.asarray(x) for x in w],
+        )
+    )
+    assert (chol >= 0).all()
+
+    # well-conditioned float64: must agree with the direct form to fp precision
+    B = rng.randn(3, 3, F) + 1j * rng.randn(3, 3, F)
+    U3 = [
+        [
+            sum(B[k][c] * B[k][d].conj() for k in range(3)) + (0.5 if c == d else 0)
+            for d in range(3)
+        ]
+        for c in range(3)
+    ]
+    w3 = [rng.randn(F) + 1j * rng.randn(F) for _ in range(3)]
+    expected = sum(
+        (np.conj(w3[c]) * sum(U3[c][d] * w3[d] for d in range(3))).real
+        for c in range(3)
+    )
+    got = np.asarray(
+        cholesky_quadratic_components(
+            [[jnp.asarray(U3[c][d]) for d in range(3)] for c in range(3)],
+            [jnp.asarray(x) for x in w3],
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+
+def test_psd_quadratic_form_matches_direct(rng):
+    import jax.numpy as jnp
+
+    from audio_source_separation_tpu.ops.ip import psd_quadratic_form
+
+    U = random_psd(rng, 16, n=3)
+    w = rng.randn(16, 3) + 1j * rng.randn(16, 3)
+    expected = np.einsum("fc,fcd,fd->f", w.conj(), U, w).real
+    got = np.asarray(psd_quadratic_form(jnp.asarray(U), jnp.asarray(w)))
+    np.testing.assert_allclose(got, expected, rtol=1e-10)
