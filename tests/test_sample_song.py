@@ -63,6 +63,39 @@ def song():
     return x, piano, violin
 
 
+class _reference_bss:
+    """Import a reference ``bss.<module>`` with the NumPy-1.x stacked-vector
+    solve shim active (same convention as ``tests/test_reference_parity``)."""
+
+    def __init__(self, module):
+        self.module = module
+
+    def __enter__(self):
+        self._original_solve = np.linalg.solve
+        original_solve = self._original_solve
+
+        def legacy_solve(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            if (
+                b.ndim == a.ndim - 1
+                and a.shape[:-2] == b.shape[:-1]
+                and a.shape[-1] == b.shape[-1]
+            ):
+                return original_solve(a, b[..., None])[..., 0]
+            return original_solve(a, b)
+
+        sys.path.insert(0, REFERENCE_SRC)
+        np.linalg.solve = legacy_solve
+        import importlib
+
+        return importlib.import_module("bss." + self.module)
+
+    def __exit__(self, *exc):
+        np.linalg.solve = self._original_solve
+        sys.path.remove(REFERENCE_SRC)
+        return False
+
+
 def test_auxiva_ip_sample_song_reference_parity(song):
     """Ours vs the ACTUAL reference AuxIVA-IP on the identical sample-song
     workload: matching loss trajectory and matching SI-SDR."""
@@ -77,29 +110,9 @@ def test_auxiva_ip_sample_song_reference_parity(song):
     y = np.asarray(istft(Y, fft_size=fft_size, hop_size=hop_size, length=x.shape[-1]))
     assert np.asarray(ours.loss)[-1] < np.asarray(ours.loss)[0]
 
-    # NumPy-1.x stacked-vector solve shim (same as tests/test_reference_parity)
-    original_solve = np.linalg.solve
-
-    def legacy_solve(a, b):
-        a, b = np.asarray(a), np.asarray(b)
-        if (
-            b.ndim == a.ndim - 1
-            and a.shape[:-2] == b.shape[:-1]
-            and a.shape[-1] == b.shape[-1]
-        ):
-            return original_solve(a, b[..., None])[..., 0]
-        return original_solve(a, b)
-
-    sys.path.insert(0, REFERENCE_SRC)
-    np.linalg.solve = legacy_solve
-    try:
-        from bss.iva import AuxLaplaceIVA as RefAuxIVA
-
-        ref = RefAuxIVA(algorithm_spatial="IP")
+    with _reference_bss("iva") as ref_iva:
+        ref = ref_iva.AuxLaplaceIVA(algorithm_spatial="IP")
         Yr = np.asarray(ref(X, iteration=30))
-    finally:
-        np.linalg.solve = original_solve
-        sys.path.remove(REFERENCE_SRC)
     yr = np.asarray(istft(Yr, fft_size=fft_size, hop_size=hop_size, length=x.shape[-1]))
 
     np.testing.assert_allclose(
@@ -133,3 +146,99 @@ def test_fastmnmf_sample_song_improves_sisdr(song):
     before = _pit_sisdr(x, piano, violin)
     after = _pit_sisdr(y, piano, violin)
     assert after > before + 1.0, (before, after)
+
+
+@pytest.mark.parametrize("algorithm_spatial", ["ISS", "IP2"])
+def test_gauss_ilrma_iss_ip2_sample_song_reference_parity(song, algorithm_spatial):
+    """GaussILRMA's other spatial algorithms on the full north-star mixture
+    (VERDICT r3 item 8): loss trajectory and SI-SDR must match the actual
+    reference on the identical workload and seeded init.  ISS parity needs
+    ``iss_compat=True`` (the reference's ILRMA-ISS self-steering scale is a
+    documented divergence — see ``ops/iss.py``)."""
+    from audio_source_separation_tpu.models import GaussILRMA
+
+    x, piano, violin = song
+    fft_size, hop_size = 2048, 1024
+    X = np.asarray(stft(x, fft_size=fft_size, hop_size=hop_size))
+
+    kwargs = {"iss_compat": True} if algorithm_spatial == "ISS" else {}
+    np.random.seed(111)
+    ours = GaussILRMA(
+        n_basis=4, algorithm_spatial=algorithm_spatial, guard="svd", **kwargs
+    )
+    Y = np.asarray(ours(X, iteration=30))
+    y = np.asarray(istft(Y, fft_size=fft_size, hop_size=hop_size, length=x.shape[-1]))
+
+    with _reference_bss("ilrma") as ref_ilrma:
+        np.random.seed(111)
+        ref = ref_ilrma.GaussILRMA(n_basis=4, algorithm_spatial=algorithm_spatial)
+        Yr = np.asarray(ref(X.copy(), iteration=30))
+    yr = np.asarray(istft(Yr, fft_size=fft_size, hop_size=hop_size, length=x.shape[-1]))
+
+    np.testing.assert_allclose(np.asarray(ours.loss), np.asarray(ref.loss), rtol=1e-6)
+    ours_sisdr = _pit_sisdr(y, piano, violin)
+    ref_sisdr = _pit_sisdr(yr, piano, violin)
+    assert abs(ours_sisdr - ref_sisdr) < 0.05, (ours_sisdr, ref_sisdr)
+
+
+def test_sawada_mnmf_seeded_sample_song_reference_parity(song):
+    """Sawada MNMF, ILRMA-seeded (the author's published usage), on an 8 s
+    crop of the north-star mixture: loss trajectory and outputs must match
+    the actual reference given the identical seed spatial covariances."""
+    from audio_source_separation_tpu.models import GaussILRMA, MultichannelISNMF
+
+    x, piano, violin = song
+    sr = 16000
+    xc = x[:, : 8 * sr]
+    fft_size, hop_size = 2048, 1024
+    X = np.asarray(stft(xc, fft_size=fft_size, hop_size=hop_size))
+
+    # rank-1 spatial seed from a short ILRMA run (same recipe as
+    # benchmarks/quality.py::ilrma_seed_spatial)
+    np.random.seed(111)
+    ilrma = GaussILRMA(n_basis=4, recordable_loss=False)
+    ilrma(X, iteration=30)
+    A = np.linalg.inv(np.asarray(ilrma.demix_filter))  # (F, C, S)
+    C = A.shape[1]
+    H0 = np.einsum("fcs,fds->fscd", A, A.conj())
+    H0 += 1e-2 * np.trace(H0, axis1=-2, axis2=-1)[..., None, None].real * np.eye(C)
+    H0 /= np.trace(H0, axis1=-2, axis2=-1)[..., None, None].real
+    H0 = H0.astype(X.dtype)
+
+    np.random.seed(111)
+    ours = MultichannelISNMF(n_basis=4, author="Sawada")
+    Y = np.asarray(ours(X, iteration=20, spatial=H0.copy()))
+
+    with _reference_bss("mnmf") as ref_mnmf:
+        np.random.seed(111)
+        ref = ref_mnmf.MultichannelISNMF(n_basis=4, author="Sawada")
+        Yr = np.asarray(ref(X.copy(), iteration=20, spatial=H0.copy()))
+
+    np.testing.assert_allclose(np.asarray(ours.loss), np.asarray(ref.loss), rtol=1e-5)
+    np.testing.assert_allclose(Y, Yr, atol=1e-5 * np.abs(Yr).max())
+
+
+def test_gauss_ipsdta_kondo_sample_song_reference_parity(song):
+    """GaussIPSDTA (Kondo) on a 4 s crop of the north-star mixture at
+    fft 1024 (513 bins = 27 uniform blocks of 19): loss trajectory and
+    outputs must match the actual reference."""
+    from audio_source_separation_tpu.models import GaussIPSDTA
+
+    x, piano, violin = song
+    sr = 16000
+    xc = x[:, : 4 * sr]
+    fft_size, hop_size = 1024, 512
+    X = np.asarray(stft(xc, fft_size=fft_size, hop_size=hop_size))
+    assert X.shape[1] == 513
+
+    np.random.seed(111)
+    ours = GaussIPSDTA(n_basis=2, author="Kondo", n_blocks=27)
+    Y = np.asarray(ours(X, iteration=3))
+
+    with _reference_bss("ipsdta") as ref_ipsdta:
+        np.random.seed(111)
+        ref = ref_ipsdta.GaussIPSDTA(n_basis=2, author="Kondo", n_blocks=27)
+        Yr = np.asarray(ref(X.copy(), iteration=3))
+
+    np.testing.assert_allclose(np.asarray(ours.loss), np.asarray(ref.loss), rtol=1e-5)
+    np.testing.assert_allclose(Y, Yr, atol=1e-5 * np.abs(Yr).max())
