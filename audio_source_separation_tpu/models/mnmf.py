@@ -843,13 +843,29 @@ class FastMultichannelISNMF(MultichannelNMFBase):
         return jnp.stack(rows)  # (M, F, T)
 
     def _model_power(self, state):
-        """``R[m] = Σ_s (WH)_s g[s,:,m] → (n_channels, n_bins, n_frames)``."""
+        """``R[m] = Σ_s (WH)_s g[s,:,m] → (n_channels, n_bins, n_frames)``.
+
+        ONE GEMM: ``g`` is folded into ``W`` (``Wg (M, F, S·K)``, ~300 KB)
+        so the contraction runs over the joint ``(s, k)`` axis and the
+        ``(S, F, T)`` reconstruction ``Λ = WH`` is never materialized —
+        round-3 profiling showed the four per-iteration ``Λ`` round trips
+        (~60 MB at the canonical config) were the largest removable term
+        in FastMNMF's traffic (reference op order: ``mnmf.py:775-788``)."""
         W, H = state["basis"], state["activation"]
         g = state["spatial_covariance"]  # (S, F, M)
-        Lam = W @ H  # (S, F, T)
-        return jnp.einsum("sft,sfm->mft", Lam, g)
+        n_sources, _, n_basis = W.shape
+        Wg = jnp.einsum("sfk,sfm->mfsk", W, g)
+        Wg = Wg.reshape(Wg.shape[:2] + (n_sources * n_basis,))
+        Hj = H.reshape(n_sources * n_basis, -1)
+        return jnp.einsum("mfj,jt->mft", Wg, Hj)
 
     def _update_nmf(self, state):
+        """MU sweeps with the frame/bin contraction FIRST (``mnmf.py:789-813``
+        exactly, reassociated): ``Σ_t H·(x̃/R²)`` lands in a tiny
+        ``(S, K, M, F)`` tensor and the channel mix ``Σ_m g·(…)`` happens
+        there, so the ``(S, F, T)`` intermediates ``g·xR`` / ``g/R`` are
+        never built — each big array is read exactly once per numerator/
+        denominator pair."""
         eps = self.eps
         g = state["spatial_covariance"]
         W, H = state["basis"], state["activation"]
@@ -857,34 +873,35 @@ class FastMultichannelISNMF(MultichannelNMFBase):
 
         # W update (``mnmf.py:789-800``)
         R = floor_below(self._model_power(state), eps)
-        xR = x_tilde / R**2
-        gxR = jnp.einsum("sfm,mft->sft", g, xR)
-        gR = jnp.einsum("sfm,mft->sft", g, 1 / R)
-        num = jnp.einsum("skt,sft->sfk", H, gxR)
-        den = floor_below(jnp.einsum("skt,sft->sfk", H, gR), eps)
+        E_num = jnp.einsum("skt,mft->skmf", H, x_tilde / R**2)
+        E_den = jnp.einsum("skt,mft->skmf", H, 1 / R)
+        num = jnp.einsum("sfm,skmf->sfk", g, E_num)
+        den = floor_below(jnp.einsum("sfm,skmf->sfk", g, E_den), eps)
         W = W * jnp.sqrt(num / den)
         state = dict(state, basis=W)
 
-        # H update (``mnmf.py:802-813``)
+        # H update (``mnmf.py:802-813``): contraction over (m, f) in one
+        # GEMM with g folded into W
         R = floor_below(self._model_power(state), eps)
-        xR = x_tilde / R**2
-        gxR = jnp.einsum("sfm,mft->sft", g, xR)
-        gR = jnp.einsum("sfm,mft->sft", g, 1 / R)
-        num = jnp.einsum("sfk,sft->skt", W, gxR)
-        den = floor_below(jnp.einsum("sfk,sft->skt", W, gR), eps)
+        Wg = jnp.einsum("sfk,sfm->skmf", W, g)  # (S, K, M, F), ~300 KB
+        num = jnp.einsum("skmf,mft->skt", Wg, x_tilde / R**2)
+        den = floor_below(jnp.einsum("skmf,mft->skt", Wg, 1 / R), eps)
         H = H * jnp.sqrt(num / den)
         return dict(state, activation=H)
 
     def _update_scm(self, state):
+        """``g`` MU (``mnmf.py:815-827``): ``Σ_t Λ·xR = Σ_k W·(Σ_t H·xR)``
+        — reuses the tiny ``(S, K, M, F)`` frame-contraction instead of
+        materializing ``Λ`` and the ``(M, F, T)`` products."""
         eps = self.eps
         g = state["spatial_covariance"]
         W, H = state["basis"], state["activation"]
-        Lam = W @ H  # (S, F, T)
         R = floor_below(self._model_power(state), eps)
         x_tilde = self._qx_power(state)
-        xR = x_tilde / R**2
-        A = jnp.einsum("sft,mft->sfm", Lam, xR)
-        B = floor_below(jnp.einsum("sft,mft->sfm", Lam, 1 / R), eps)
+        E_num = jnp.einsum("skt,mft->skmf", H, x_tilde / R**2)
+        E_den = jnp.einsum("skt,mft->skmf", H, 1 / R)
+        A = jnp.einsum("sfk,skmf->sfm", W, E_num)
+        B = floor_below(jnp.einsum("sfk,skmf->sfm", W, E_den), eps)
         g = g * jnp.sqrt(A / B)
         return dict(state, spatial_covariance=g)
 
