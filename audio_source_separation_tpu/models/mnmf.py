@@ -441,56 +441,116 @@ class MultichannelISNMF(MultichannelNMFBase):
     # (a materialized (F, T, C, C)/(F, T, S, K) array pads its small minors
     # to the TPU tile, costing orders of magnitude in HBM traffic)
     # ------------------------------------------------------------------ #
-    def _sigma_planes(self, state):
-        """``Σx`` as planes ``(C, C, F, T)`` plus the per-source variances
-        ``σ_s (S, F, T)`` (``mnmf.py:307-330`` model covariance)."""
+    def _sigma_components(self, state):
+        """Hermitian ``Σx`` as COMPONENT planes ``Sx[c][d] (F, T)`` (upper
+        triangle computed, diagonal real, lower triangle the exact
+        conjugate — bit-identical to the former stacked+symmetrized array,
+        since complex conjugation distributes exactly over the fp products)
+        plus the per-source variances ``σ_s (S, F, T)``
+        (``mnmf.py:307-330`` model covariance).  Component lists keep every
+        entry a lazy expression XLA can fuse into consumers instead of a
+        materialized ``(C, C, F, T)`` tensor."""
         A = state["mix_filter"]  # (F, C, S)
         sigma_b = state["noise_covariance"]  # (F, C)
         W, H = state["basis"], state["activation"]  # (S, F, K), (S, K, T)
         C, S = self.n_channels, self.n_sources
         sigma_s = W @ H  # (S, F, T) real
         sA = sigma_s.astype(A.dtype)
-        rows = []
+        Sx = [[None] * C for _ in range(C)]
         for c in range(C):
-            row = []
-            for d in range(C):
+            for d in range(c, C):
                 acc = sum(
                     (A[:, c, s] * A[:, d, s].conj())[:, None] * sA[s]
                     for s in range(S)
                 )
                 if c == d:
-                    acc = acc + sigma_b[:, c][:, None]
-                row.append(acc)
-            rows.append(jnp.stack(row))
-        Sx = jnp.stack(rows)  # (C, C, F, T)
-        return (Sx + jnp.swapaxes(Sx, 0, 1).conj()) / 2, sigma_s
+                    Sx[c][c] = acc.real + sigma_b[:, c][:, None]  # real plane
+                else:
+                    Sx[c][d] = acc
+                    Sx[d][c] = acc.conj()
+        return Sx, sigma_s
 
-    def _posterior_planes(self, state, Sx_p, sigma_s):
-        """``A^H Σx⁻¹ (S, C, F, T)``, the Wiener gains ``G (S, C, F, T)`` and
-        the posterior source means ``s (S, F, T)``."""
+    @staticmethod
+    def _adjugate_components(Sx):
+        """Adjugate of Hermitian component planes (closed form, C ≤ 3 —
+        the component dual of ``ops.fast_linalg.inv_planes`` without the
+        determinant division), as lazy expressions."""
+        C = len(Sx)
+        if C == 1:
+            return [[jnp.ones_like(Sx[0][0])]]
+        if C == 2:
+            return [[Sx[1][1], -Sx[0][1]], [-Sx[1][0], Sx[0][0]]]
+        if C == 3:
+            a, b, c0 = Sx[0]
+            d, e, f = Sx[1]
+            g, h, i = Sx[2]
+            return [
+                [e * i - f * h, c0 * h - b * i, b * f - c0 * e],
+                [f * g - d * i, a * i - c0 * g, c0 * d - a * f],
+                [d * h - e * g, b * g - a * h, a * e - b * d],
+            ]
+        raise ValueError(
+            "adjugate closed forms cover C <= 3, got {}".format(C)
+        )
+
+    @staticmethod
+    def _det_components(Sx):
+        """Real determinant of Hermitian component planes (C ≤ 3)."""
+        C = len(Sx)
+        if C == 1:
+            return Sx[0][0]
+        if C == 2:
+            return Sx[0][0] * Sx[1][1] - (Sx[0][1] * Sx[1][0]).real
+        if C == 3:
+            return (
+                Sx[0][0] * (Sx[1][1] * Sx[2][2] - (Sx[1][2] * Sx[2][1]).real)
+                - (
+                    Sx[0][1]
+                    * (Sx[1][0] * Sx[2][2] - Sx[1][2] * Sx[2][0])
+                ).real
+                + (
+                    Sx[0][2]
+                    * (Sx[1][0] * Sx[2][1] - Sx[1][1] * Sx[2][0])
+                ).real
+            )
+        raise ValueError("det closed forms cover C <= 3, got {}".format(C))
+
+    def _collapsed_posteriors(self, state, Sx, sigma_s):
+        """``M2 = A^H Σx⁻¹ A`` (Hermitian component planes, S×S) and
+        ``v = A^H Σx⁻¹ x (S, F, T)`` — the only two E-step quantities any
+        consumer needs.  The former ``(C·C/S·C, F, T)`` posterior tensors
+        all collapse onto them (``AhS·x = v``, ``G = σ·AhS``,
+        ``GA = σ·M2``, ``aSa = diag M2``, ``s_post = σ·v``), and Σx⁻¹ is
+        never materialized: adjugate entries are lazy references into the
+        ``Σx`` planes (round-4 E-step collapse; was ~1.4 GB/iteration of
+        real posterior-plane traffic, ``mnmf.py:307-355``)."""
         A = state["mix_filter"]
         X = state["input"]  # (C, F, T) — the x planes
         C, S = self.n_channels, self.n_sources
-        inv_p = inv_planes(Sx_p)
-        AhS = jnp.stack(
+        adj = self._adjugate_components(Sx)
+        inv_det = 1.0 / self._det_components(Sx)  # real (F, T)
+        # t[s][d] = (A^H adj Σx)[s, d] — lazy
+        t = [
             [
-                jnp.stack(
-                    [
-                        sum(
-                            A[:, c, s].conj()[:, None] * inv_p[c, d]
-                            for c in range(C)
-                        )
-                        for d in range(C)
-                    ]
-                )
-                for s in range(S)
+                sum(A[:, c, s].conj()[:, None] * adj[c][d] for c in range(C))
+                for d in range(C)
             ]
-        )  # (S, C, F, T): (A^H Σx⁻¹)[s, d]
-        G = sigma_s.astype(A.dtype)[:, None] * AhS  # (S, C, F, T)
-        s_post = jnp.stack(
-            [sum(G[s, d] * X[d] for d in range(C)) for s in range(S)]
+            for s in range(S)
+        ]
+        v = jnp.stack(
+            [sum(t[s][d] * X[d] for d in range(C)) * inv_det for s in range(S)]
         )  # (S, F, T)
-        return AhS, G, s_post
+        M2 = [[None] * S for _ in range(S)]
+        for s in range(S):
+            for r in range(s, S):
+                m = (
+                    sum(t[s][d] * A[:, d, r][:, None] for d in range(C))
+                    * inv_det
+                )
+                M2[s][r] = m
+                if r != s:
+                    M2[r][s] = m.conj()
+        return M2, v
 
     def _update_ozerov(self, state):
         n_sources, n_channels = self.n_sources, self.n_channels
@@ -500,9 +560,10 @@ class MultichannelISNMF(MultichannelNMFBase):
         n_basis = self.n_basis
         C, S, K = n_channels, n_sources, n_basis
 
-        Sx_p, sigma_s = self._sigma_planes(state)
-        AhS, G, s_post = self._posterior_planes(state, Sx_p, sigma_s)
+        Sx, sigma_s = self._sigma_components(state)
+        M2, v = self._collapsed_posteriors(state, Sx, sigma_s)
         sA = sigma_s.astype(A.dtype)
+        s_post = v * sA  # (S, F, T): σ_s·(A^H Σx⁻¹ x)_s
 
         def mean_t(plane):
             return plane.mean(axis=-1)  # (F,)
@@ -524,18 +585,16 @@ class MultichannelISNMF(MultichannelNMFBase):
             ],
             -2,
         )  # (F, C, S)
-        # R_ss[s, r] = mean_t [ s_s s̄_r + (δ_sr − (GA)[s, r]) σ_r ]
-        GA = [
-            [sum(G[s, c] * A[:, c, r][:, None] for c in range(C)) for r in range(S)]
-            for s in range(S)
-        ]
+        # R_ss[s, r] = mean_t [ s_s s̄_r + (δ_sr − (GA)[s, r]) σ_r ] with
+        # GA[s, r] = σ_s·M2[s, r]
         R_ss = jnp.stack(
             [
                 jnp.stack(
                     [
                         mean_t(
                             s_post[s] * s_post[r].conj()
-                            + ((1.0 if s == r else 0.0) - GA[s][r]) * sA[r]
+                            + ((1.0 if s == r else 0.0) - sA[s] * M2[s][r])
+                            * sA[r]
                         )
                         for r in range(S)
                     ],
@@ -549,23 +608,16 @@ class MultichannelISNMF(MultichannelNMFBase):
 
         # component posteriors (diagonals only, ``mnmf.py:332-355``):
         # c_i = σ_c,i (a_i^H Σx⁻¹ x);  U_i = |c_i|² + (1 − σ_c,i a_i^H Σx⁻¹ a_i) σ_c,i
-        aSx = jnp.stack(
-            [sum(AhS[s, d] * X[d] for d in range(C)) for s in range(S)]
-        )  # (S, F, T)
-        aSa = jnp.stack(
-            [
-                sum(AhS[s, d] * A[:, d, s][:, None] for d in range(C))
-                for s in range(S)
-            ]
-        )  # (S, F, T)
         # σ_c[s, k](f, t) = W[s, f, k]·H[s, k, t];
         # U = σ²·|aSx|² + (1 − σ·aSa)·σ = σ²·B + σ with
-        # B = |aSx|² − Re(aSa) — so the (S·K) component posteriors NEVER
-        # need materializing: the MU ratios below collapse algebraically
-        # (U/H = W + W²·H·B), turning the former per-(s, k) Python-looped
-        # (F, T) planes (~77 MB/iteration of U_p buffers, read twice) into
-        # two (S, K)-contraction GEMMs over the single B plane
-        B_post = jnp.abs(aSx) ** 2 - aSa.real  # (S, F, T) real
+        # B = |aSx|² − Re(aSa) = |v|² − Re(diag M2) — so the (S·K) component
+        # posteriors NEVER need materializing: the MU ratios below collapse
+        # algebraically (U/H = W + W²·H·B), turning the former per-(s, k)
+        # Python-looped (F, T) planes (~77 MB/iteration of U_p buffers, read
+        # twice) into two (S, K)-contraction GEMMs over the single B plane
+        B_post = jnp.abs(v) ** 2 - jnp.stack(
+            [M2[s][s].real for s in range(S)]
+        )  # (S, F, T) real
 
         # M step (``mnmf.py:357-375``)
         A_new = jnp.swapaxes(
@@ -657,26 +709,27 @@ class MultichannelISNMF(MultichannelNMFBase):
 
     def _nll_ozerov(self, state):
         """Correct Gaussian NLL ``x^H Σx⁻¹ x + log det Σx`` (the reference
-        computes ``tr(xx^H Σx)``, ``mnmf.py:531`` — documented divergence)."""
-        from ..ops.fast_linalg import det_planes
-
+        computes ``tr(xx^H Σx)``, ``mnmf.py:531`` — documented divergence).
+        ``Σx⁻¹`` never materializes: ``x^H adj(Σx) x / det`` from the lazy
+        component adjugate."""
         X = state["input"]  # (C, F, T)
         C = self.n_channels
-        Sx_p, _ = self._sigma_planes(state)
-        inv_p = inv_planes(Sx_p)
+        Sx, _ = self._sigma_components(state)
+        adj = self._adjugate_components(Sx)
+        det = self._det_components(Sx)
         quad = sum(
-            (X[c].conj() * sum(inv_p[c, d] * X[d] for d in range(C))).real
+            (X[c].conj() * sum(adj[c][d] * X[d] for d in range(C))).real
             for c in range(C)
-        )
-        logdet = jnp.log(jnp.abs(det_planes(Sx_p)))
+        ) / det
+        logdet = jnp.log(jnp.abs(det))
         return (quad + logdet).sum()
 
     def _separate_ozerov(self, state):
         """Posterior mean of the sources (``mnmf.py:585-617``; the reference's
         duplicated ``A_sigma_s`` factor at ``:607`` is fixed here)."""
-        Sx_p, sigma_s = self._sigma_planes(state)
-        _, _, s_post = self._posterior_planes(state, Sx_p, sigma_s)
-        return s_post  # (S, F, T)
+        Sx, sigma_s = self._sigma_components(state)
+        _, v = self._collapsed_posteriors(state, Sx, sigma_s)
+        return v * sigma_s.astype(v.dtype)  # (S, F, T)
 
     # ------------------------------------------------------------------ #
     # every stage runs with float32 matmul precision: TPU's default bf16
