@@ -26,19 +26,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 from audio_source_separation_tpu.models import (
+    AuxGaussIVA,
     AuxLaplaceIVA,
+    CauchyNMF,
+    ComplexEUCNMF,
     ConsistentGaussILRMA,
+    CovarianceISNMF,
+    EUCNMF,
+    EUCNTF,
     FastMultichannelISNMF,
     GaussILRMA,
     GaussIPSDTA,
+    GradLaplaceFDICA,
     GradLaplaceIVA,
     ISNMF,
+    KLNMF,
+    LDPSDTF,
     MultichannelISNMF,
     NaturalGradLaplaceFDICA,
     NaturalGradLaplaceIVA,
     ProxLaplaceIVA,
     TILRMA,
     TIPSDTA,
+    TNMF,
 )
 from audio_source_separation_tpu.runtime import (
     benchmark_solver,
@@ -185,6 +195,8 @@ def main():
         ("GaussIPSDTA Kondo (K=2)", 5, lambda: GaussIPSDTA(n_basis=2, author="Kondo", recordable_loss=False)),
         ("GaussIPSDTA Ikeshita (K=2)", 5, lambda: GaussIPSDTA(n_basis=2, author="Ikeshita", recordable_loss=False)),
         ("tIPSDTA Kondo (K=2)", 5, lambda: TIPSDTA(n_basis=2, nu=1000, recordable_loss=False)),
+        ("AuxGaussIVA-IP", 400, lambda: AuxGaussIVA(algorithm_spatial="IP", recordable_loss=False)),
+        ("GradLaplaceFDICA", 400, lambda: GradLaplaceFDICA(recordable_loss=False)),
     ]
     # roofline denominator: the chip's SUSTAINED copy bandwidth, measured on
     # the actual device (triad kernel, differenced scan lengths)
@@ -196,19 +208,20 @@ def main():
         print(json.dumps({"hbm_probe_error": str(exc)[:200]}), flush=True)
 
     results = []
-    for name, iters, factory in configs:
+
+    def bench_one(name, iters, factory, target):
         np.random.seed(111)
         solver = factory()
         try:
-            ips, compile_s = benchmark_solver(solver, X, iteration=iters)
+            ips, compile_s = benchmark_solver(solver, target, iteration=iters)
             np.random.seed(111)
             try:
-                bytes_it, flops_it = scan_cost_analysis(factory(), X)
+                bytes_it, flops_it = scan_cost_analysis(factory(), target)
             except Exception:  # noqa: BLE001 — cost analysis is best-effort
                 bytes_it = flops_it = None
             np.random.seed(111)
             try:
-                payload = state_payload_bytes(factory(), X)
+                payload = state_payload_bytes(factory(), target)
             except Exception:  # noqa: BLE001
                 payload = None
             results.append((name, ips, compile_s, bytes_it, flops_it, payload))
@@ -227,21 +240,39 @@ def main():
         except Exception as exc:  # noqa: BLE001 — record and continue
             print(json.dumps({"solver": name, "error": str(exc)[:200]}), flush=True)
 
-    # single-channel factorization on the power spectrogram (2-D target)
-    try:
-        P1 = (np.abs(X[0]) ** 2).astype(np.float32)
-        np.random.seed(111)
-        ips, compile_s = benchmark_solver(ISNMF(n_basis=10), P1, iteration=600)
-        np.random.seed(111)
-        try:
-            bytes_it, _ = scan_cost_analysis(ISNMF(n_basis=10), P1)
-            payload = state_payload_bytes(ISNMF(n_basis=10), P1)
-        except Exception:  # noqa: BLE001
-            bytes_it = payload = None
-        results.append(("ISNMF (K=10, 1 ch)", ips, compile_s, bytes_it, None, payload))
-        print(json.dumps({"solver": "ISNMF (K=10, 1 ch)", "iters_per_sec": round(ips, 2)}), flush=True)
-    except Exception as exc:  # noqa: BLE001
-        print(json.dumps({"solver": "ISNMF", "error": str(exc)[:200]}), flush=True)
+    for name, iters, factory in configs:
+        bench_one(name, iters, factory, X)
+
+    # L3 factorization components on their native targets (VERDICT r3
+    # item 3 — every non-stub solver class gets a measured row).  Targets:
+    # P1 = single-channel power spectrogram; P3 = multichannel power tensor;
+    # cov = observed covariance planes (the covariance-domain Sawada
+    # factorizer, ``nmf.py:678-815``); gram = K PSD Gram planes over frames
+    # (LD-PSDTF's time-domain frame model, ``psdtf.py:88-176``; B = 64 taps).
+    P1 = (np.abs(X[0]) ** 2).astype(np.float32)
+    P3 = (np.abs(X) ** 2).astype(np.float32)
+    cov_target = np.einsum("cft,dft->ftcd", X, X.conj()).astype(np.complex64)
+    rng_g = np.random.RandomState(7)
+    B = 64
+    bases = [rng_g.randn(B, B) for _ in range(2)]
+    gram = np.einsum(
+        "kij,kt->ijt",
+        np.stack([a @ a.T + 0.5 * np.eye(B) for a in bases]),
+        np.abs(rng_g.randn(2, X.shape[-1])) + 0.2,
+    )
+    factor_configs = [
+        ("ISNMF (K=10, 1 ch)", 600, lambda: ISNMF(n_basis=10), P1),
+        ("EUCNMF (K=10, 1 ch)", 600, lambda: EUCNMF(n_basis=10), P1),
+        ("KLNMF (K=10, 1 ch)", 600, lambda: KLNMF(n_basis=10), P1),
+        ("tNMF (K=10, 1 ch)", 600, lambda: TNMF(n_basis=10), P1),
+        ("CauchyNMF (K=10, 1 ch)", 600, lambda: CauchyNMF(n_basis=10), P1),
+        ("ComplexEUCNMF (K=10, 1 ch)", 300, lambda: ComplexEUCNMF(n_basis=10), X[0]),
+        ("EUCNTF (K=10)", 400, lambda: EUCNTF(n_basis=10), P3),
+        ("CovarianceISNMF (K=10)", 50, lambda: CovarianceISNMF(n_basis=10), cov_target),
+        ("LDPSDTF (K=2, B=64)", 20, lambda: LDPSDTF(n_basis=2), gram),
+    ]
+    for name, iters, factory, target in factor_configs:
+        bench_one(name, iters, factory, target)
 
     try:
         ips, compile_s = bench_idlma()
@@ -385,6 +416,10 @@ def main():
         "  iteration.  The former U_p posterior planes were eliminated by the exact",
         "  algebraic collapse U/H = W + W²·H·B (round 3, +5% — confirming the",
         "  E step, not the M step, is the cost).",
+        "- **OverAuxIVA**: no separate row — its overdetermined path is PCA",
+        "  (one host-jit call) + the AuxIVA-IP scan on the reduced channels",
+        "  (`models/iva.py:682-712`), so its per-iteration rate IS the",
+        "  AuxIVA-IP row on the reduced mixture.",
         "- **Sawada MNMF**: runs with float32 matmul precision — bf16",
         "  multiplies NaN the EM after ~40 iterations (QUALITY.md sweep);",
         "  full-precision trace/Riccati contractions cost ~2× its bf16 rate",
