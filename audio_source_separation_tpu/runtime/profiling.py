@@ -45,7 +45,7 @@ class IterationTimer:
         return np.diff(self.timestamps)
 
 
-def benchmark_solver(solver, X, iteration=30, warmup=True, short=None):
+def benchmark_solver(solver, X, iteration=30, warmup=True, short=None, update_fn=None):
     """Sustained device iterations/sec for a solver's jitted scan.
 
     One jitted call through the development TPU tunnel carries a fixed
@@ -56,9 +56,16 @@ def benchmark_solver(solver, X, iteration=30, warmup=True, short=None):
     cancels, leaving the device's sustained per-iteration time (min-time over
     several windows; ``jax.device_get`` as the only reliable barrier).
 
+    ``update_fn`` (state → state, default ``solver.update_state``) lets a
+    per-stage bench scan ONE stage of a composite update in isolation — the
+    basis of the stage-attribution tables in benchmarks/RESULTS.md.
+
     Returns ``(iterations_per_sec, compile_seconds)``.
     """
     import jax.numpy as jnp
+
+    if update_fn is None:
+        update_fn = solver.update_state
 
     X = np.asarray(X)
     solver.set_shape_metadata(X)
@@ -91,7 +98,7 @@ def benchmark_solver(solver, X, iteration=30, warmup=True, short=None):
                 full = dict(inv, **s)
                 if not carried_derived:
                     full = solver.restore_state(full)
-                full = solver.update_state(full)
+                full = update_fn(full)
                 probe = solver.scan_probe(full)
                 out = jnp.zeros(()) if probe is None else probe
                 return {k: full[k] for k in var_keys}, out
@@ -135,7 +142,7 @@ def _cost_dict(compiled):
     return ca or {}
 
 
-def scan_cost_analysis(solver, X, iteration=None, short=None):
+def scan_cost_analysis(solver, X, iteration=None, short=None, update_fn=None):
     """XLA-modeled cost of one solver iteration: ``(bytes_per_iter,
     flops_per_iter)``.
 
@@ -165,8 +172,11 @@ def scan_cost_analysis(solver, X, iteration=None, short=None):
     )
     carried = {k: v for k, v in state_shapes.items() if k not in derived}
 
+    if update_fn is None:
+        update_fn = solver.update_state
+
     def body(sp):
-        full = solver.update_state(solver.restore_state(unpack(sp)))
+        full = update_fn(solver.restore_state(unpack(sp)))
         return pack({k: full[k] for k in carried})
 
     compiled = jax.jit(body).lower(carried).compile()
