@@ -43,6 +43,7 @@ closed form are MXU-batched over (bin, frame) / (bin, source).
 
 import warnings
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -562,6 +563,28 @@ class MultichannelISNMF(MultichannelNMFBase):
 
         Sx, sigma_s = self._sigma_components(state)
         M2, v = self._collapsed_posteriors(state, Sx, sigma_s)
+        # Materialize the E-step outputs ONCE behind an optimization
+        # barrier.  ``M2``'s entries are lazy component expressions whose
+        # leaves are the full adjugate/Σx chains; without the barrier XLA's
+        # fusion re-expands that chain into EVERY M-step consumer (R_xs,
+        # R_ss, B_post, both MU contractions) — measured on-chip: the full
+        # EM iteration ran at ~0.1 ms of E step + ~1.9 ms of duplicated
+        # M-step traffic (op-level 2.4 GB/iter).  Hermitian storage: S real
+        # diagonal planes + the strict upper triangle, rebuilt as views.
+        diag = jnp.stack([M2[s][s].real for s in range(S)])  # (S, F, T)
+        upper = [M2[s][r] for s in range(S) for r in range(s + 1, S)]
+        off = jnp.stack(upper) if upper else jnp.zeros((0,) + v.shape[1:], v.dtype)
+        v, diag, off, sigma_s = jax.lax.optimization_barrier(
+            (v, diag, off, sigma_s)
+        )
+        M2 = [[None] * S for _ in range(S)]
+        k = 0
+        for s in range(S):
+            M2[s][s] = diag[s].astype(v.dtype)
+            for r in range(s + 1, S):
+                M2[s][r] = off[k]
+                M2[r][s] = off[k].conj()
+                k += 1
         sA = sigma_s.astype(A.dtype)
         s_post = v * sA  # (S, F, T): σ_s·(A^H Σx⁻¹ x)_s
 
@@ -615,18 +638,19 @@ class MultichannelISNMF(MultichannelNMFBase):
         # algebraically (U/H = W + W²·H·B), turning the former per-(s, k)
         # Python-looped (F, T) planes (~77 MB/iteration of U_p buffers, read
         # twice) into two (S, K)-contraction GEMMs over the single B plane
-        B_post = jnp.abs(v) ** 2 - jnp.stack(
-            [M2[s][s].real for s in range(S)]
+        # barriered like the E outputs: B_post is an operand of BOTH MU
+        # GEMMs below, and each would otherwise re-materialize the fused
+        # |v|² − diag expression as its own GEMM input (~2× its traffic)
+        B_post = jax.lax.optimization_barrier(
+            jnp.abs(v) ** 2 - diag
         )  # (S, F, T) real
 
-        # M step (``mnmf.py:357-375``)
-        A_new = jnp.swapaxes(
-            jnp.linalg.solve(
-                jnp.swapaxes(R_ss, -2, -1).conj(), jnp.swapaxes(R_xs, -2, -1).conj()
-            ),
-            -2,
-            -1,
-        ).conj()  # R_xs R_ss⁻¹
+        # M step (``mnmf.py:357-375``): ``A = R_xs R_ss⁻¹`` with the
+        # closed-form S×S inverse (adjugate/det, exact for S ≤ 3) — the
+        # batched LU solve on 2049 tiny (S, S) systems is a loop-shaped
+        # kernel TPUs execute poorly; the closed form is two fused
+        # elementwise planes ops
+        A_new = R_xs @ batched_inv(R_ss)
         A_newh = jnp.swapaxes(A_new, -2, -1).conj()
         R_xs_h = jnp.swapaxes(R_xs, -2, -1).conj()
         # the residual diagonal is PSD in exact arithmetic but can go
