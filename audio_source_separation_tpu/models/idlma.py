@@ -275,17 +275,24 @@ class GaussIDLMA(IDLMABase):
         self.estimation = output
         return output
 
-    def _spatial_and_normalize_components(self, X, planes, W_rows, dnn_output):
-        """Component-layout IP + projection-back normalization.
+    def _spatial_and_normalize_components(self, planes, G, W_rows, dnn_output):
+        """Component-layout IP + projection-back normalization, POWER-ONLY:
+        no complex ``(S, F, T)`` estimate is ever materialized in the scan.
 
         The reference normalizes by least-squares-refitting W to the scaled
         estimates (``idlma.py:154-157``); since ``Y = W X`` exactly, the LS
         fit of ``scale·Y`` on ``X`` is exactly ``scale·W`` — the per-iteration
         ``(F, C, C)`` Gram solves collapse to a per-row scale (algebraically
-        identical; fp-level divergence only)."""
+        identical; fp-level divergence only).  The projection-back scale
+        itself is restated on the INVARIANT frame-summed mixture Gram
+        (``ops/ip_components.py::projection_back_components``) — per
+        iteration it is O(F) component arithmetic instead of (F, T) complex
+        reductions — and ``|Y|²`` for the NLL comes from the all-real
+        quadratic form over the pair-product planes."""
         from ..ops.ip_components import (
             ip_update_components,
-            separate_components,
+            projection_back_components,
+            quadratic_power_components,
             weighted_covariance_components,
         )
 
@@ -295,13 +302,14 @@ class GaussIDLMA(IDLMABase):
         W_rows = ip_update_components(
             W_rows, U, threshold=self.threshold, guard=self.guard
         )
-        Y = separate_components(W_rows, X)
-        scale = projection_back(Y, reference=X[self.reference_id])  # (S, F)
-        Y = Y * scale[..., None]
+        scale = projection_back_components(
+            W_rows, G, reference_id=self.reference_id
+        )  # list of (F,)
         W_rows = [
             [w_c * scale[s] for w_c in row] for s, row in enumerate(W_rows)
         ]
-        return W_rows, Y
+        P_new = quadratic_power_components(W_rows, planes)
+        return W_rows, P_new
 
     def _jax_scan_fn(self, iteration):
         n_channels = self.n_channels
@@ -314,12 +322,14 @@ class GaussIDLMA(IDLMABase):
 
             if components:
                 from ..ops.ip_components import (
+                    gram_components,
                     log_abs_det_components,
                     pair_products_planes,
-                    separate_components,
+                    quadratic_power_components,
                 )
 
                 planes = pair_products_planes(X)  # loop-invariant
+                G = gram_components(planes)  # loop-invariant frame Gram
                 W0 = unpack(sp["demix_filter"])
                 Wc0 = jnp.stack(
                     [
@@ -335,18 +345,16 @@ class GaussIDLMA(IDLMABase):
                         [Wc[s, c] for c in range(n_channels)]
                         for s in range(n_channels)
                     ]
-                    P = jnp.abs(separate_components(rows, X)) ** 2
+                    P = quadratic_power_components(rows, planes)
                     dnn_output = self._apply_dnn(P)
-                    rows, Y = self._spatial_and_normalize_components(
-                        X, planes, rows, dnn_output
+                    rows, P_new = self._spatial_and_normalize_components(
+                        planes, G, rows, dnn_output
                     )
                     R = floor_below(
                         dnn_output ** (2 / self.domain), self.eps
                     )
-                    nll = jnp.sum(
-                        jnp.abs(Y) ** 2 / R + jnp.log(R)
-                    ) - 2 * n_frames * jnp.sum(
-                        log_abs_det_components(rows, n_channels)
+                    nll = jnp.sum(P_new / R + jnp.log(R)) - 2 * n_frames * (
+                        jnp.sum(log_abs_det_components(rows, n_channels))
                     )
                     Wc = jnp.stack([jnp.stack(row) for row in rows])
                     return (Wc, dnn_output), nll

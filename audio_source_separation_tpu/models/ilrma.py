@@ -154,6 +154,59 @@ class ILRMABase(IVABase):
         # update and at init, so no re-separation is needed
         return state["estimation"]
 
+    # ------------------------------------------------------------------ #
+    # power-only scan mode: every in-scan consumer of the IP-family
+    # iteration needs only P = |separate(X, W)|², never the complex
+    # estimates — so the scan restores P directly as an all-real quadratic
+    # form over the pair-product planes (quadratic_power_planes) and the
+    # complex (N, F, T) materialization disappears from the loop entirely.
+    # Measured on-chip (round 4, canonical config): the complex broadcast
+    # separate + |·|² costs ~155 µs/iter vs ~8 µs for the planes form.
+    # The post-scan restore still rebuilds complex ``estimation``
+    # (IterativeSolver.restore_state), so published attributes, callbacks,
+    # and finalize are unchanged.
+    # ------------------------------------------------------------------ #
+    @property
+    def _power_only_scan(self):
+        return False
+
+    def _estimation_power(self, state):
+        P = state.get("estimation_power")
+        if P is not None:
+            return P
+        return jnp.abs(state["estimation"]) ** 2
+
+    def _refresh_estimation(self, state, W):
+        """Post-spatial-update refresh of the derived estimate, in whichever
+        representation the current execution mode carries (complex in eager/
+        callback mode, power-only inside the scan)."""
+        if "estimation_power" in state and "estimation" not in state:
+            from ..ops.ip_components import quadratic_power_planes
+
+            return {
+                "estimation_power": quadratic_power_planes(
+                    W, state["pair_products"]
+                )
+            }
+        return {"estimation": self.separate(state["input"], W)}
+
+    def scan_restore_state(self, state):
+        if (
+            self._power_only_scan
+            and "estimation" not in state
+            and "pair_products" in state
+            and "demix_filter" in state
+        ):
+            from ..ops.ip_components import quadratic_power_planes
+
+            return dict(
+                state,
+                estimation_power=quadratic_power_planes(
+                    state["demix_filter"], state["pair_products"]
+                ),
+            )
+        return self.restore_state(state)
+
     def _materialized_filter(self, state):
         if "demix_filter" in state:
             return state["demix_filter"]
@@ -226,12 +279,20 @@ class GaussILRMA(ILRMABase):
         if self.algorithm_spatial == "ISS":
             warnings.warn("in progress", UserWarning)
 
+    @property
+    def _power_only_scan(self):
+        # every in-scan consumer of the IP/IP2 iteration needs only
+        # P = |Y|² (source MU, spatial weights, power normalization, NLL);
+        # ISS updates the estimates in place and projection-back
+        # normalization is a complex per-bin least squares — both need Y
+        return not self._is_iss and self.normalize in (False, True, "power")
+
     # ------------------------------------------------------------------ #
     # source model
     # ------------------------------------------------------------------ #
     def _update_source_basic(self, state):
         domain, eps = self.domain, self.eps
-        P = jnp.abs(self._estimation(state)) ** 2
+        P = self._estimation_power(state)
 
         if self.partitioning:
             assert domain == 2, "Not support domain = {}".format(domain)
@@ -283,12 +344,12 @@ class GaussILRMA(ILRMABase):
         domain, eps = self.domain, self.eps
         if self.partitioning:
             raise NotImplementedError("Not support partitioning function.")
-        Y = self._estimation(state)
+        P_all = self._estimation_power(state)
         T, V = state["basis"], state["activation"]
         exponent = domain / (domain + 2)
 
         for idx in (m, n):
-            P_i = jnp.abs(jnp.take(Y, idx, axis=0)) ** 2
+            P_i = jnp.take(P_all, idx, axis=0)
             T_i = jnp.take(T, idx, axis=0)
             V_i = jnp.take(V, idx, axis=0)
 
@@ -311,10 +372,9 @@ class GaussILRMA(ILRMABase):
     # spatial model
     # ------------------------------------------------------------------ #
     def _update_spatial_ip(self, state):
-        X = state["input"]
         R = floor_below(self.source_variance(state), self.eps)
         W = self._ip_sweep(state, 1.0 / R)
-        return dict(state, demix_filter=W, estimation=self.separate(X, W))
+        return dict(state, demix_filter=W, **self._refresh_estimation(state, W))
 
     def _update_spatial_iss(self, state):
         Y = state["estimation"]
@@ -324,7 +384,6 @@ class GaussILRMA(ILRMABase):
 
     def _update_spatial_pairwise(self, state, m, n):
         X, W = state["input"], state["demix_filter"]
-        Y = state["estimation"]
         n_bins, n_channels = W.shape[0], W.shape[-1]
         R = floor_below(self.source_variance(state), self.eps)
         R_mn = jnp.stack([jnp.take(R, m, axis=0), jnp.take(R, n, axis=0)])
@@ -348,7 +407,9 @@ class GaussILRMA(ILRMABase):
             W = ip2_pair_update_planes(
                 W, U_p, m, n, threshold=self.threshold, guard=self.guard
             )
-            return dict(state, demix_filter=W, estimation=self.separate(X, W))
+            return dict(
+                state, demix_filter=W, **self._refresh_estimation(state, W)
+            )
 
         U_mn = self._weighted_covariance(state, 1.0 / R_mn)
         U_m, U_n = U_mn[0], U_mn[1]
@@ -377,7 +438,7 @@ class GaussILRMA(ILRMABase):
 
         W = W.at[:, m, :].set(jnp.where(ok_m[:, None], w_m, W[:, m, :]))
         W = W.at[:, n, :].set(jnp.where(ok_n[:, None], w_n, W[:, n, :]))
-        return dict(state, demix_filter=W, estimation=self.separate(X, W))
+        return dict(state, demix_filter=W, **self._refresh_estimation(state, W))
 
     # ------------------------------------------------------------------ #
     # normalization (``ilrma.py:293-338``)
@@ -387,20 +448,22 @@ class GaussILRMA(ILRMABase):
             return state
         eps, domain = self.eps, self.domain
         X = state["input"]
+        power_mode = "estimation_power" in state and "estimation" not in state
         if self._is_iss:
             Y = state["estimation"]
             W = self.compute_demix_filter(Y, X)
         else:
             W = state["demix_filter"]
-            Y = state["estimation"]  # == separate(X, W) (update invariant)
+            Y = None if power_mode else state["estimation"]
+
         T = state["basis"]
 
         if self.normalize == "power" or self.normalize is True:
-            P = jnp.abs(Y) ** 2
+            P = self._estimation_power(state)
             # mean over the TRUE bin count (trace-time constant): identical
             # to .mean() when unpadded; keeps the per-source RMS exact when
             # the bin axis is zero-padded for a mesh (use_mesh pad_bins)
-            n_eff = (Y.shape[1] - self._bin_pad) * Y.shape[2]
+            n_eff = (P.shape[1] - self._bin_pad) * P.shape[2]
             aux = floor_below(jnp.sqrt(P.sum(axis=(1, 2)) / n_eff), eps)  # (S,)
             if self._bin_pad:
                 # keep the padded identity rows unscaled — their data is zero
@@ -413,7 +476,12 @@ class GaussILRMA(ILRMABase):
                 W = jnp.where(valid, W / aux[None, :, None], W)
             else:
                 W = W / aux[None, :, None]
-            Y = Y / aux[:, None, None]
+            if power_mode:
+                state = dict(
+                    state, estimation_power=P / (aux[:, None, None] ** 2)
+                )
+            else:
+                Y = Y / aux[:, None, None]
             if self.partitioning:
                 Z = state["latent"]
                 Zaux = Z / (aux[:, None] ** domain)
@@ -439,7 +507,9 @@ class GaussILRMA(ILRMABase):
                 "'projection-back'".format(self.normalize)
             )
 
-        state = dict(state, estimation=Y, basis=T)
+        state = dict(state, basis=T)
+        if Y is not None:
+            state = dict(state, estimation=Y)
         if "demix_filter" in state:
             state = dict(state, demix_filter=W)
         return state
@@ -467,8 +537,7 @@ class GaussILRMA(ILRMABase):
         X = state["input"]
         n_frames = X.shape[-1]
         W = self._materialized_filter(state)
-        Y = state["estimation"]  # == separate(X, W) for non-ISS (invariant)
-        P = jnp.abs(Y) ** 2
+        P = self._estimation_power(state)  # == |separate(X, W)|² (invariant)
         R = floor_below(self.source_variance(state), self.eps)
         return jnp.sum(P / R + jnp.log(R)) - 2 * n_frames * jnp.sum(
             batched_log_abs_det(W)
@@ -535,6 +604,11 @@ class TILRMA(ILRMABase):
         self.threshold = threshold
         self.guard = guard
 
+    @property
+    def _power_only_scan(self):
+        # IP-only solver; both MU and the posterior-weighted IP consume P
+        return self.normalize in (False, True, "power")
+
     def source_variance(self, state):
         # t-ILRMA uses R = TV directly in the spatial weights (``ilrma.py:959``)
         if self.partitioning:
@@ -547,7 +621,7 @@ class TILRMA(ILRMABase):
         assert self.domain == 2, "Only domain = 2 is supported."
         if self.partitioning:
             raise NotImplementedError("Only support when `partitioning=False` ")
-        P = jnp.abs(self._estimation(state)) ** 2
+        P = self._estimation_power(state)
         T, V = state["basis"], state["activation"]
 
         TV = floor_below(T @ V, eps)
@@ -582,8 +656,7 @@ class TILRMA(ILRMABase):
 
         nu, eps = self.nu, self.eps
         X, W = state["input"], state["demix_filter"]
-        Y = state["estimation"]  # == separate(X, W) (update invariant)
-        P = jnp.abs(Y) ** 2
+        P = self._estimation_power(state)  # == |separate(X, W)|² (invariant)
         R = floor_below(self.source_variance(state), eps)
         Xi = (nu * R + 2 * P) / (nu + 2)
 
@@ -610,19 +683,25 @@ class TILRMA(ILRMABase):
             W = ip_update(
                 W, U, threshold=self.threshold, guard=self.guard, denom_floor=eps
             )
-        return dict(state, demix_filter=W, estimation=self.separate(X, W))
+        return dict(state, demix_filter=W, **self._refresh_estimation(state, W))
 
     def _normalize_state(self, state):
         if not self.normalize:
             return state
         eps = self.eps
         X, W = state["input"], state["demix_filter"]
-        Y = state["estimation"]  # == separate(X, W) (update invariant)
+        power_mode = "estimation_power" in state and "estimation" not in state
+        Y = None if power_mode else state["estimation"]
         if self.normalize == "power" or self.normalize is True:
-            P = jnp.abs(Y) ** 2
+            P = self._estimation_power(state)
             aux = floor_below(jnp.sqrt(P.mean(axis=(1, 2))), eps)
             W = W / aux[None, :, None]
-            Y = Y / aux[:, None, None]
+            if power_mode:
+                state = dict(
+                    state, estimation_power=P / (aux[:, None, None] ** 2)
+                )
+            else:
+                Y = Y / aux[:, None, None]
             T = state["basis"]
             if self.partitioning:
                 Z = state["latent"]
@@ -639,7 +718,10 @@ class TILRMA(ILRMABase):
                 "Not support normalization based on {}. Choose 'power' or "
                 "'projection-back'".format(self.normalize)
             )
-        return dict(state, demix_filter=W, estimation=Y)
+        state = dict(state, demix_filter=W)
+        if Y is not None:
+            state = dict(state, estimation=Y)
+        return state
 
     def update_state(self, state):
         state = self._update_source(state)
@@ -652,8 +734,7 @@ class TILRMA(ILRMABase):
         X = state["input"]
         n_frames = X.shape[-1]
         W = self._materialized_filter(state)
-        Y = state["estimation"]  # == separate(X, W) (update invariant)
-        P = jnp.abs(Y) ** 2
+        P = self._estimation_power(state)  # == |separate(X, W)|² (invariant)
         R = floor_below(self.source_variance(state), eps)
         return jnp.sum(
             (1 + nu / 2) * jnp.log(1 + (2 / nu) * (P / R)) + jnp.log(R)
@@ -720,6 +801,7 @@ class ConsistentGaussILRMA(GaussILRMA):
         the true ``fft_size // 2 + 1`` bin geometry — padding is not neutral."""
         return False
 
+
     def update_state(self, state):
         from ..transform.stft import istft, stft
 
@@ -729,29 +811,67 @@ class ConsistentGaussILRMA(GaussILRMA):
         # ``Y = separate(X, W)`` whenever ``demix_filter`` exists
         # (``ilrma.py:360-364``), so the projection never feeds any update.
         # We reproduce that behavior exactly (the projection below is dead
-        # code that XLA eliminates, kept for documentation parity).
-        Y = state["estimation"]
-        y = istft(Y, fft_size=self.fft_size, hop_size=self.hop_size)
-        Y = stft(y, fft_size=self.fft_size, hop_size=self.hop_size)
-        Y = Y[..., : state["estimation"].shape[-1]].astype(state["input"].dtype)
-        del Y  # parity: the reference discards the projection (see NOTE)
-        state = dict(
-            state,
-            estimation=self.separate(state["input"], state["demix_filter"]),
-        )
+        # code that XLA eliminates, kept for documentation parity; in the
+        # power-only scan mode the complex estimates are never restored, so
+        # the dead projection is simply not traced).
+        power_mode = "estimation_power" in state and "estimation" not in state
+        if not power_mode:
+            Y = state["estimation"]
+            y = istft(Y, fft_size=self.fft_size, hop_size=self.hop_size)
+            Y = stft(y, fft_size=self.fft_size, hop_size=self.hop_size)
+            Y = Y[..., : state["estimation"].shape[-1]].astype(
+                state["input"].dtype
+            )
+            del Y  # parity: the reference discards the projection (see NOTE)
+            state = dict(
+                state,
+                estimation=self.separate(
+                    state["input"], state["demix_filter"]
+                ),
+            )
 
         state = self._update_source_basic(state)
         state = self._update_spatial_ip(state)
 
         # fold projection-back into W and T (``ilrma.py:1212-1233``)
         X, W = state["input"], state["demix_filter"]
-        Y = self.separate(X, W)
         T = state["basis"]
         if self.partitioning:
             raise NotImplementedError(
                 "Not support 'projection-back' based normalization for "
                 "partitioninig function. Choose 'power' based normalization."
             )
+        if power_mode:
+            # scale from the INVARIANT frame-summed mixture Gram: exact
+            # restatement of projection_back(separate(X, W), X_ref) with no
+            # complex (N, F, T) materialization (see ops/ip_components.py)
+            from ..ops.ip_components import (
+                gram_components,
+                projection_back_components,
+                quadratic_power_planes,
+            )
+
+            planes = state["pair_products"]
+            n_channels = W.shape[-1]
+            rows = [
+                [W[:, n, c] for c in range(n_channels)]
+                for n in range(W.shape[1])
+            ]
+            scale = jnp.stack(
+                projection_back_components(
+                    rows, gram_components(planes),
+                    reference_id=self.reference_id,
+                )
+            )  # (N, F)
+            W = W * jnp.transpose(scale, (1, 0))[..., None]
+            T = T * jnp.abs(scale[..., None]) ** 2
+            return dict(
+                state,
+                demix_filter=W,
+                estimation_power=quadratic_power_planes(W, planes),
+                basis=T,
+            )
+        Y = self.separate(X, W)
         scale = projection_back(Y, reference=X[self.reference_id])
         W = W * jnp.transpose(scale, (1, 0))[..., None]
         Y = self.separate(X, W)

@@ -378,6 +378,23 @@ class AuxIVABase(IVABase):
     def _is_iss(self):
         return self.algorithm_spatial == "ISS"
 
+    # round-4 experiment toggle: when True (and the component/planes guard
+    # conditions hold), the scan never materializes the complex estimates —
+    # the contrasts' frame weights come from ONE real GEMM over the
+    # invariant pair-product planes (ops/ip_components.py::frame_power_sums)
+    power_scan = True
+
+    @property
+    def _power_only_scan(self):
+        return (
+            self.power_scan
+            and self.algorithm_spatial in ("IP", "IP1", "IVA")
+            and self.use_pair_products
+            and self.guard in ("one_norm", "none")
+            and getattr(self, "n_channels", 99) is not None
+            and getattr(self, "n_channels", 99) <= 4
+        )
+
     @property
     def derived_in_carry(self):
         """Measured (round 3, canonical config): carrying the estimates in
@@ -386,8 +403,21 @@ class AuxIVABase(IVABase):
         scan (8.3k → 22.3k iters/s) and 4.3× for the planes-IP2 scan
         (3.8k → 16.4k), but NEUTRAL-TO-NEGATIVE for ISS (0.76×) and the
         ILRMA/MNMF families (0.87-0.94×) — enabled for IP and IP2/pairwise
-        here only."""
+        here only.  In the round-4 power-only scan mode the estimates do
+        not exist inside the loop at all, so there is nothing to carry."""
+        if self._power_only_scan:
+            return False
         return self.algorithm_spatial in ("IP", "IP1", "IVA", "IP2", "pairwise")
+
+    def scan_restore_state(self, state):
+        if (
+            self._power_only_scan
+            and "estimation" not in state
+            and "pair_products" in state
+            and "demix_components" in state
+        ):
+            return state  # the update reads only the planes + W components
+        return self.restore_state(state)
 
     @property
     def _is_pairwise(self):
@@ -422,6 +452,27 @@ class AuxIVABase(IVABase):
         """Per-(source, frame) auxiliary variance ``R`` — contrast-specific."""
         raise NotImplementedError
 
+    def source_weights_from_power_sums(self, psum, n_bins):
+        """``source_weights`` restated on the bin-summed powers ``psum =
+        Σ_f |Y|² (N, T)`` — the power-only scan's form (both contrasts'
+        weights are bin reductions of the power)."""
+        raise NotImplementedError
+
+    def _frame_power_sums_state(self, state):
+        """``Σ_f |Y|² (N, T)`` from whichever representation the state
+        carries (complex estimates in eager mode, planes + components in
+        the power-only scan)."""
+        if "estimation" in state:
+            return jnp.sum(jnp.abs(state["estimation"]) ** 2, axis=1)
+        from ..ops.ip_components import frame_power_sums
+
+        Wc = state["demix_components"]
+        rows = [
+            [Wc[s, c] for c in range(Wc.shape[1])]
+            for s in range(Wc.shape[0])
+        ]
+        return frame_power_sums(rows, state["pair_products"])
+
     def update_state(self, state):
         if self.algorithm_spatial in ("IP", "IP1", "IVA"):
             return self._update_ip(state)
@@ -434,7 +485,39 @@ class AuxIVABase(IVABase):
         )
 
     def _update_ip(self, state):
-        X, Y = state["input"], state["estimation"]
+        X = state["input"]
+        if "estimation" not in state and "demix_components" in state:
+            # power-only scan: frame weights from one real GEMM over the
+            # invariant planes; the complex estimates are never built
+            from ..ops.ip_components import (
+                frame_power_sums,
+                ip_update_components,
+                weighted_covariance_components,
+            )
+
+            Wc = state["demix_components"]  # (N, C, F)
+            n_sources, n_channels = Wc.shape[0], Wc.shape[1]
+            W_rows = [
+                [Wc[s, c] for c in range(n_channels)] for s in range(n_sources)
+            ]
+            psum = frame_power_sums(W_rows, state["pair_products"])
+            R = floor_below(
+                self.source_weights_from_power_sums(psum, X.shape[1]),
+                self.eps,
+            )
+            U = weighted_covariance_components(
+                state["pair_products"], 1.0 / R, flatten=self._covariance_flatten()
+            )
+            W_rows = ip_update_components(
+                W_rows, U, threshold=self.threshold, guard=self.guard
+            )
+            return dict(
+                state,
+                demix_components=jnp.stack(
+                    [jnp.stack(row) for row in W_rows]
+                ),
+            )
+        Y = state["estimation"]
         R = floor_below(self.source_weights(Y), self.eps)  # (N, T)
         if "demix_components" in state:
             # fully component-layout iteration: covariance GEMM → IP row
@@ -612,11 +695,13 @@ class AuxLaplaceIVA(AuxIVABase):
         P = jnp.abs(Y) ** 2  # (N, F, T)
         return jnp.sqrt(P.sum(axis=1))  # (N, T)
 
+    def source_weights_from_power_sums(self, psum, n_bins):
+        return jnp.sqrt(psum)
+
     def nll(self, state):
         X = state["input"]
-        Y = state["estimation"]  # == separate(X, W) for non-ISS (invariant)
         n_frames = X.shape[-1]
-        P = jnp.sum(jnp.abs(Y) ** 2, axis=1)
+        P = self._frame_power_sums_state(state)  # Σ_f |Y|² (N, T)
         R = 2 * jnp.sqrt(P)
         return R.sum() - 2 * n_frames * self._log_abs_det_filter(state).sum()
 
@@ -646,15 +731,17 @@ class AuxGaussIVA(AuxIVABase):
         P = jnp.abs(Y) ** 2
         return P.mean(axis=1)  # (N, T)
 
+    def source_weights_from_power_sums(self, psum, n_bins):
+        return psum / n_bins
+
     def _update_pairwise(self, state):
         raise NotImplementedError("In progress...")
 
     def nll(self, state):
         X = state["input"]
-        Y = state["estimation"]  # == separate(X, W) for non-ISS (invariant)
         n_bins, n_frames = X.shape[1], X.shape[2]
-        P = jnp.abs(Y) ** 2
-        R = floor_below(P.mean(axis=1), self.eps)
+        psum = self._frame_power_sums_state(state)  # Σ_f |Y|² (N, T)
+        R = floor_below(psum / n_bins, self.eps)
         return n_bins * jnp.sum(jnp.log(R)) - 2 * n_frames * (
             self._log_abs_det_filter(state).sum()
         )

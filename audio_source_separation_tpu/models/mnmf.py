@@ -810,6 +810,9 @@ class FastMultichannelISNMF(MultichannelNMFBase):
         "activation",
         "latent",
     )
+    # the pair-product planes are a pure function of the mixture — close
+    # them over the scan body instead of threading ~15 MB through the carry
+    invariant_fields = ("input", "pair_products")
     callback_on_init = False  # callbacks fire after iterations only
     # (``mnmf.py:713-716``)
 
@@ -911,6 +914,15 @@ class FastMultichannelISNMF(MultichannelNMFBase):
         X = state["input"]  # (C, F, T)
         Q = state["diagonalizer"]  # (F, M, C)
         n_channels = X.shape[0]
+        planes = state.get("pair_products")
+        if planes is not None:
+            # all-real quadratic form over the carried pair-product planes
+            # — the former per-row complex broadcast multiply over X
+            # measured 155 µs/iter on-chip vs 8.3 µs for this form; it was
+            # HALF of FastMNMF's whole iteration (round 4)
+            from ..ops.ip_components import quadratic_power_planes
+
+            return quadratic_power_planes(Q, planes)  # (M, F, T)
         rows = []
         for m in range(n_channels):
             acc = Q[:, m, 0][:, None] * X[0]

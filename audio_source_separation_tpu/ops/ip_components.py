@@ -52,6 +52,157 @@ def pair_products_planes(X):
     return jnp.stack(planes)  # (C², F, T)
 
 
+def quadratic_power_components(rows, planes):
+    """:func:`quadratic_power_planes` on component rows: ``rows[n][c]`` are
+    complex ``(F,)`` filter coefficients (``Y[n] = Σ_c rows[n][c]·X[c]``).
+    Returns ``(N, F, T)`` real powers without materializing complex Y."""
+    n_channels = len(rows[0])
+    out = []
+    for row in rows:
+        acc = None
+        for c in range(n_channels):
+            term = (jnp.abs(row[c]) ** 2)[:, None] * planes[c]
+            acc = term if acc is None else acc + term
+        k = n_channels
+        for c in range(n_channels):
+            for d in range(c + 1, n_channels):
+                a = row[c] * row[d].conj()
+                acc = acc + 2.0 * (
+                    a.real[:, None] * planes[k]
+                    - a.imag[:, None] * planes[k + 1]
+                )
+                k += 2
+        out.append(jnp.maximum(acc, 0.0))
+    return jnp.stack(out)
+
+
+def frame_power_sums(rows, planes):
+    """``Σ_f |Σ_c rows[n][c]·x_c|² → (N, T)`` as ONE real GEMM over the
+    pair-product planes — neither the complex estimates nor their ``(N, F,
+    T)`` power are ever materialized.  This is the whole per-iteration
+    estimate dependence of the AuxIVA contrasts (their auxiliary variances
+    are bin-reductions of the power: ``iva.py:439-441, 689-691``).
+
+    The quadratic expansion ``Σ_c |w_c|² P_cc + Σ_{c<d} 2(Re a·Re P_cd −
+    Im a·Im P_cd)`` is a per-(n, f) REAL weight vector over the C² compact
+    planes, so the bin reduction is ``einsum('npf,pft->nt')`` — a
+    ``(N, C²·F) × (C²·F, T)`` GEMM reading the planes once."""
+    n_channels = len(rows[0])
+    wts = []
+    for row in rows:
+        per_plane = [jnp.abs(row[c]) ** 2 for c in range(n_channels)]
+        for c in range(n_channels):
+            for d in range(c + 1, n_channels):
+                a = row[c] * row[d].conj()
+                per_plane.append(2.0 * a.real)
+                per_plane.append(-2.0 * a.imag)
+        wts.append(jnp.stack(per_plane))  # (C², F)
+    W = jnp.stack(wts)  # (N, C², F)
+    return jnp.einsum("npf,pft->nt", W, planes)
+
+
+def gram_components(planes):
+    """Frame-summed mixture Gram ``G[c][d] = Σ_t x_c x*_d`` as complex
+    ``(F,)`` components, reassembled from the compact Hermitian planes.
+    Loop-INVARIANT for any fixed mixture — compute once, close over the
+    scan body."""
+    C = int(round(planes.shape[0] ** 0.5))
+    sums = planes.sum(axis=-1)  # (C², F) real
+    index, _ = _plane_index(C)
+    G = [[None] * C for _ in range(C)]
+    for c in range(C):
+        G[c][c] = sums[index[("re", c, c)]].astype(
+            jnp.complex64 if sums.dtype == jnp.float32 else jnp.complex128
+        )
+        for d in range(c + 1, C):
+            g = sums[index[("re", c, d)]] + 1j * sums[index[("im", c, d)]]
+            G[c][d] = g
+            G[d][c] = g.conj()
+    return G
+
+
+def projection_back_components(rows, G, reference_id=0, ridge_rel=1e-12):
+    """Per-(source, bin) projection-back scales from filter components and
+    the invariant mixture Gram — NO (N, F, T) complex estimate and no
+    per-iteration (F, T) reductions (the frame sums live in ``G``).
+
+    ``Y Y^H(i, j) = Σ_cd w_ic w*_jd G[c][d]`` and ``x_ref Y^H(j) =
+    Σ_d w*_jd G[ref][d]`` are exact restatements of the least-squares fit
+    ``A = X Y^H (Y Y^H)^{-1}`` (``algorithm/projection_back.py``, reference
+    ``src/algorithm/projection_back.py:3-34``) — algebraically identical,
+    fp-level divergence only.  Same relative-trace ridge as the planes path.
+
+    Args:
+      rows: ``rows[n][c]`` complex ``(F,)`` components of the demixing rows.
+      G: output of :func:`gram_components`.
+      reference_id: reference channel index.
+
+    Returns:
+      list of ``(F,)`` complex scales, one per source.
+    """
+    n_sources = len(rows)
+    n_channels = len(rows[0])
+    YY = [
+        [
+            sum(
+                rows[i][c] * rows[j][d].conj() * G[c][d]
+                for c in range(n_channels)
+                for d in range(n_channels)
+            )
+            for j in range(n_sources)
+        ]
+        for i in range(n_sources)
+    ]
+    xY = [
+        sum(rows[j][d].conj() * G[reference_id][d] for d in range(n_channels))
+        for j in range(n_sources)
+    ]
+    trace = sum(YY[i][i].real for i in range(n_sources))
+    ridge = (ridge_rel * trace + 1e-32).astype(YY[0][0].dtype)
+    for i in range(n_sources):
+        YY[i][i] = YY[i][i] + ridge
+    # scale = xY · (YY)^{-1} row vector; closed-form adjugate solve on the
+    # tiny (N, N) component system (N ≤ 3 everywhere this is used)
+    det = det_components(YY, n_sources)
+    scales = []
+    for s in range(n_sources):
+        # cofactor expansion: (YY^{-1})[:, s] · xY == Σ_j xY[j]·C_sj/det,
+        # with C the cofactor matrix — reuse the column solve helper
+        col = solve_column_components(YY, n_sources, s, det=det)
+        # col solves YY^H? — solve_column_components returns column s of
+        # YY^{-1}; the row-vector product is Σ_j xY[j]·inv[j][s]
+        scales.append(sum(xY[j] * col[j] for j in range(n_sources)))
+    return scales
+
+
+def quadratic_power_planes(W, planes):
+    """``P[n] = |Σ_c W[f, n, c] x_c|²`` directly from the REAL pair-product
+    planes — no complex ``(N, F, T)`` estimate is ever materialized.
+
+    ``|Σ_c w_c x_c|² = Σ_c |w_c|² P_cc + Σ_{c<d} 2(Re a·Re P_cd − Im a·Im
+    P_cd)`` with ``a = w_c w*_d`` — an all-real fused elementwise pass over
+    the planes.  Measured on-chip (round 4, canonical FastMNMF config): the
+    complex per-row broadcast multiply over ``X`` + ``|·|²`` costs
+    ~155 µs/iter; this form ~8 µs — the same planes-vs-complex-materialize
+    lesson as the round-3 small-matrix layouts.  The exact value is ≥ 0 but
+    the cross-term difference can cancel slightly negative in f32, so the
+    result is clamped at 0.
+
+    Args:
+      W: ``(F, N, C)`` complex mixing rows (``Y[n] = Σ_c W[:, n, c]·X[c]``).
+      planes: ``(C², F, T)`` compact Hermitian planes from
+        :func:`pair_products_planes`.
+
+    Returns:
+      ``(N, F, T)`` real powers.
+    """
+    n_channels = int(round(planes.shape[0] ** 0.5))
+    rows = [
+        [W[:, n, c] for c in range(n_channels)] for n in range(W.shape[1])
+    ]
+    return quadratic_power_components(rows, planes)
+
+
 def _covariance_planes(planes, weights, flatten=True):
     """Real contraction over frames → ``(P, F, N)`` with P = C² compact planes.
 

@@ -97,7 +97,7 @@ def benchmark_solver(solver, X, iteration=30, warmup=True, short=None, update_fn
             def body(s, _):
                 full = dict(inv, **s)
                 if not carried_derived:
-                    full = solver.restore_state(full)
+                    full = solver.scan_restore_state(full)
                 full = update_fn(full)
                 probe = solver.scan_probe(full)
                 out = jnp.zeros(()) if probe is None else probe
@@ -176,7 +176,7 @@ def scan_cost_analysis(solver, X, iteration=None, short=None, update_fn=None):
         update_fn = solver.update_state
 
     def body(sp):
-        full = update_fn(solver.restore_state(unpack(sp)))
+        full = update_fn(solver.scan_restore_state(unpack(sp)))
         return pack({k: full[k] for k in carried})
 
     compiled = jax.jit(body).lower(carried).compile()

@@ -81,6 +81,18 @@ class IterativeSolver:
         """Reconstruct derived fields dropped from the scan carry."""
         return state
 
+    def scan_restore_state(self, state):
+        """Body-head variant of :meth:`restore_state`.  Subclasses may
+        restore a CHEAPER sufficient statistic than the full derived field
+        when every in-scan consumer only needs it (e.g. the ILRMA family's
+        ``estimation_power = |separate(X, W)|²`` computed as an all-real
+        quadratic form over the pair-product planes, skipping the complex
+        ``(N, F, T)`` materialization entirely — see
+        ``ops/ip_components.py::quadratic_power_planes``).  The post-scan
+        restore always uses :meth:`restore_state`, so published state and
+        ``finalize`` still see the full derived fields."""
+        return self.restore_state(state)
+
     def __init__(self, callbacks=None, recordable_loss=True, eps=EPS):
         if callbacks is not None and callable(callbacks):
             callbacks = [callbacks]
@@ -322,7 +334,7 @@ class IterativeSolver:
             def body(s, _):
                 full = dict(inv, **s)
                 if not carried_derived:
-                    full = self.restore_state(full)
+                    full = self.scan_restore_state(full)
                 full = self.update_state(full)
                 # contract check (trace-time only): declared-invariant fields
                 # are closed over the body, NOT carried — if update_state

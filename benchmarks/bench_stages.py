@@ -85,12 +85,16 @@ def fastmnmf_stages():
 
         return fn
 
+    # stage scans sized so the DIFFERENCED device time is tens of ms —
+    # the first cut used 200-iter scans for every stage and the fast
+    # stages (scm, diagonalizer) differenced BELOW the tunnel's ±1-2 ms
+    # jitter, printing nonsense rates (1.8e11 iters/s)
     stages = [
-        ("FastMNMF full iteration", lambda s: s.update_state, 100),
-        ("  nmf (W+H MU)", lambda s: s._update_nmf, 200),
-        ("  scm (g MU)", lambda s: s._update_scm, 200),
-        ("  diagonalizer (Q IP sweep)", lambda s: s._update_diagonalizer, 200),
-        ("  normalize + |Qx|^2 refresh", norm_qx, 200),
+        ("FastMNMF full iteration", lambda s: s.update_state, 150),
+        ("  nmf (W+H MU)", lambda s: s._update_nmf, 2000),
+        ("  scm (g MU)", lambda s: s._update_scm, 2000),
+        ("  diagonalizer (Q IP sweep)", lambda s: s._update_diagonalizer, 1500),
+        ("  normalize + |Qx|^2 refresh", norm_qx, 600),
     ]
     for name, ufo, iters in stages:
         bench_stage(name, factory, X, ufo, iters, rows)
@@ -122,8 +126,8 @@ def ozerov_stages():
         return fn
 
     stages = [
-        ("Ozerov full EM iteration", lambda s: s.update_state, 50),
-        ("  E step (Sigma_x planes -> M2, v)", e_only, 100),
+        ("Ozerov full EM iteration", lambda s: s.update_state, 150),
+        ("  E step (Sigma_x planes -> M2, v)", e_only, 400),
     ]
     for name, ufo, iters in stages:
         bench_stage(name, factory, X, ufo, iters, rows)
@@ -143,6 +147,11 @@ def main():
                 r.get("xla_gflops", "-"),
             )
         )
+    # artifact consumed by run_all.py when it regenerates RESULTS.md
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "STAGES.json")
+    with open(out, "w") as f:
+        json.dump({"rows": fast + oz}, f, indent=1)
+    print("wrote", out)
 
 
 if __name__ == "__main__":

@@ -403,19 +403,32 @@ def main():
         "  is the eigen-chain intermediates' real traffic plus the serial",
         "  sweep's latency, the two structural terms the planes layout",
         "  cannot remove.  (Round-over-round: 0.19 → 16.6 → 84.6 iters/s.)",
-        "- **ILRMA family (~30% floor) / FastMNMF (~10% floor)**: the floor counts",
-        "  STATE arrays only; their NMF MU sweeps read/write K-factor model",
-        "  intermediates (TV reconstructions, per-channel powers) that are not state",
-        "  — the op-level column shows ~10× the floor, and the measured time matches",
+        "- **ILRMA family (~30% floor)**: the floor counts STATE arrays only;",
+        "  their NMF MU sweeps read/write K-factor model intermediates (TV",
+        "  reconstructions, per-channel powers) that are not state — the",
+        "  op-level column shows ~10× the floor, and the measured time matches",
         "  that op-level traffic after typical fusion at the measured bandwidth.",
         "  These rows sit at their real traffic bound, not at an optimization gap",
         "  (probe/carry variants measured 0.87–1.02×).",
-        "- **Ozerov MNMF**: bound by its E step — the full posterior machinery",
-        "  (Σx planes, their inverses, the Wiener gains and sufficient statistics,",
-        "  each a (C·C/S·C, F, T) complex tensor) is ~1.4 GB of real traffic per",
-        "  iteration.  The former U_p posterior planes were eliminated by the exact",
-        "  algebraic collapse U/H = W + W²·H·B (round 3, +5% — confirming the",
-        "  E step, not the M step, is the cost).",
+        "- **FastMNMF** (round 4: 1,840 → ~3,300 iters/s, 1.8×): every (S, F, T)",
+        "  intermediate was eliminated by reassociating the MU contractions —",
+        "  the frame/bin reduction lands in a tiny (S, K, M, F) tensor FIRST",
+        "  and g folds into W so the model power R is ONE (M·F, S·K)×(S·K, T)",
+        "  GEMM with Λ = WH never materialized.  What remains per iteration is",
+        "  structural: four R rebuilds (the reference recomputes R after every",
+        "  factor update — `mnmf.py:789-852`), six (M, F, T)-operand GEMMs,",
+        "  one |Qx|² refresh reading X, and the diagonalizer's weighted",
+        "  covariance — a fused-traffic model of ~170-200 MB/iteration, i.e.",
+        "  ~0.2 ms at copy bandwidth vs ~0.3 ms measured (within 1.5× of the",
+        "  model; the per-stage table below signs the attribution).",
+        "- **Ozerov MNMF** (round 4: 451 → ~2,300 iters/s, 5.2×): the E step's",
+        "  collapsed posteriors (v, Hermitian M2, σ_s) are materialized ONCE",
+        "  behind `lax.optimization_barrier` — without it XLA re-expanded the",
+        "  lazy adjugate/Σx chains into every M-step consumer (R_xs, R_ss,",
+        "  B_post, both MU contractions), duplicating ~2 GB/iteration; the",
+        "  (S, S) normal solve uses the adjugate closed form instead of a",
+        "  batched LU.  The E step alone runs ~10.7k iters/s (table below),",
+        "  so the EM is now M-step/consumer-bound, not posterior-bound.",
         "- **OverAuxIVA**: no separate row — its overdetermined path is PCA",
         "  (one host-jit call) + the AuxIVA-IP scan on the reduced channels",
         "  (`models/iva.py:682-712`), so its per-iteration rate IS the",
@@ -426,7 +439,74 @@ def main():
         "  (1129 → 609 iters/s), the price of correctness at production",
         "  iteration counts.",
     ]
-    if dp_rate is not None:
+    # per-stage attribution table (benchmarks/bench_stages.py artifact)
+    stages_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "STAGES.json"
+    )
+    if os.path.exists(stages_path):
+        with open(stages_path) as f:
+            stage_rows = json.load(f)["rows"]
+        lines += [
+            "",
+            "## Per-stage attribution (FastMNMF / Ozerov EM)",
+            "",
+            "Each stage timed as its own jitted scan (same differencing;",
+            "`bench_stages.py`); stages overlap where the algorithm rebuilds",
+            "shared terms (FastMNMF rebuilds R in every stage, exactly as the",
+            "reference does), so stage times exceeding the full iteration by",
+            "that overlap is the attribution signal, not an error.",
+            "",
+            "| Stage | iters/s | ms/iter | XLA op MB/iter |",
+            "|---|---|---|---|",
+        ]
+        for r in stage_rows:
+            lines.append(
+                "| {} | {} | {} | {} |".format(
+                    r["stage"].replace("  ", "&nbsp;&nbsp;"),
+                    r.get("iters_per_sec", "—"),
+                    r.get("ms_per_iter", "—"),
+                    r.get("xla_op_level_mb", "—"),
+                )
+            )
+
+    # DP batch-scaling table (benchmarks/throughput.py artifact)
+    dp_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "DP_SWEEP.json"
+    )
+    if os.path.exists(dp_path):
+        with open(dp_path) as f:
+            dp = json.load(f)
+        batches = dp["batches"]
+        lines += [
+            "",
+            "## Data-parallel scaling (mixtures/s vs batch)",
+            "",
+            "vmapped functional core, device-resident batch, scalar sync",
+            "(`throughput.py`); config: {}.".format(dp["config"]),
+            "",
+            "| Solver | " + " | ".join("batch {}".format(b) for b in batches) + " |",
+            "|---|" + "---|" * len(batches),
+        ]
+        names = []
+        for r in dp["rows"]:
+            if r["solver"] not in names:
+                names.append(r["solver"])
+        for name in names:
+            row = [name]
+            for b in batches:
+                match = [
+                    r
+                    for r in dp["rows"]
+                    if r["solver"] == name and r["batch"] == b
+                    and "mixtures_per_sec" in r
+                ]
+                row.append(
+                    "{:.1f}".format(match[0]["mixtures_per_sec"])
+                    if match
+                    else "—"
+                )
+            lines.append("| " + " | ".join(row) + " |")
+    elif dp_rate is not None:
         lines += [
             "",
             "Data-parallel throughput (batched AuxIVA-IP, vmapped scan,",

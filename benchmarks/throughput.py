@@ -135,6 +135,23 @@ def main():
             C, F, T, N_ITER
         )
     )
+    # artifact consumed by run_all.py when it regenerates RESULTS.md
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "DP_SWEEP.json"
+    )
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "rows": results,
+                "batches": list(BATCHES),
+                "config": "{} ch, {} bins, {} frames, {} iterations".format(
+                    C, F, T, N_ITER
+                ),
+            },
+            f,
+            indent=1,
+        )
+    print("wrote", out)
 
 
 if __name__ == "__main__":

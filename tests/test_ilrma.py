@@ -241,3 +241,62 @@ def test_tilrma_nu1_float32_long_run_stays_finite(rng):
     # mixtures (guarded rows + rounding) — the regression target is
     # finiteness, the pre-fix run NaN'd
     assert np.isfinite(np.asarray(solver.loss)).all()
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: GaussILRMA(n_basis=2, algorithm_spatial="IP", normalize="power"),
+        lambda: GaussILRMA(n_basis=2, algorithm_spatial="IP2", normalize="power"),
+        lambda: TILRMA(n_basis=2, nu=1, normalize="power"),
+    ],
+    ids=["gauss-ip", "gauss-ip2", "t-nu1"],
+)
+def test_power_only_scan_matches_complex_scan(rng, make):
+    """Round-4 power-only scan (estimation_power restored from the planes
+    quadratic form; no complex (N, F, T) estimate in the loop) must match
+    the complex-restore scan to fp precision."""
+    X = make_mixture(rng, n_channels=2, n_bins=17, n_frames=40)
+
+    outs = {}
+    for mode in (True, False):
+        solver = make()
+        assert solver._power_only_scan  # contract: config qualifies
+        if not mode:
+            # force the complex path by overriding the property per-instance
+            type(solver)._power_only_scan  # (property lives on the class)
+            solver.__class__ = type(
+                "NoPower", (type(solver),), {"_power_only_scan": property(lambda s: False)}
+            )
+            assert not solver._power_only_scan
+        np.random.seed(111)
+        outs[mode] = np.asarray(solver(X, iteration=10))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-8, atol=1e-10)
+
+
+def test_consistent_ilrma_power_scan_matches_complex(rng):
+    """ConsistentGaussILRMA folds projection-back into W per iteration; the
+    power-mode Gram restatement must match the complex per-bin least squares."""
+    from audio_source_separation_tpu.transform import stft as stft_t
+
+    rng_np = np.random.RandomState(7)
+    fft_size, hop_size = 32, 16
+    x = rng_np.randn(2, 16 * fft_size)
+    X = stft_t(x, fft_size=fft_size, hop_size=hop_size)
+
+    outs = {}
+    for mode in (True, False):
+        solver = ConsistentGaussILRMA(
+            n_basis=2, fft_size=fft_size, hop_size=hop_size
+        )
+        assert solver._power_only_scan
+        if not mode:
+            solver.__class__ = type(
+                "NoPowerC",
+                (ConsistentGaussILRMA,),
+                {"_power_only_scan": property(lambda s: False)},
+            )
+            assert not solver._power_only_scan
+        np.random.seed(111)
+        outs[mode] = np.asarray(solver(X, iteration=8))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-8, atol=1e-10)

@@ -312,3 +312,23 @@ def test_auxiva_ip2_step_parity(rng):
     np.testing.assert_allclose(
         numpy_laplace_nll(X, W_jax), numpy_laplace_nll(X, W_ref), rtol=1e-10
     )
+
+
+def test_power_only_scan_matches_complex_scan(rng):
+    """The round-4 power-only scan (no complex estimates inside the loop;
+    frame weights from one real GEMM over the invariant pair-product planes)
+    must reproduce the complex-carry scan to fp precision, for both
+    contrasts."""
+    X = make_mixture(rng, n_channels=2, n_bins=17, n_frames=40)
+
+    for cls in (AuxLaplaceIVA, AuxGaussIVA):
+        outs = {}
+        for mode in (True, False):
+            solver = cls(algorithm_spatial="IP")
+            solver.power_scan = mode
+            np.random.seed(111)
+            outs[mode] = np.asarray(solver(X, iteration=12))
+            assert solver._power_only_scan is mode
+        np.testing.assert_allclose(
+            outs[True], outs[False], rtol=1e-8, atol=1e-10
+        )

@@ -296,3 +296,98 @@ def test_psd_quadratic_form_matches_direct(rng):
     expected = np.einsum("fc,fcd,fd->f", w.conj(), U, w).real
     got = np.asarray(psd_quadratic_form(jnp.asarray(U), jnp.asarray(w)))
     np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+
+def test_quadratic_power_planes_matches_direct(rng):
+    """Power-only scan primitive: |W X|² as an all-real quadratic form over
+    the compact pair-product planes (ops/ip_components.py, round 4)."""
+    import jax.numpy as jnp
+
+    from audio_source_separation_tpu.ops.ip_components import (
+        pair_products_planes,
+        quadratic_power_planes,
+    )
+
+    for C in (2, 3, 4):
+        X = rng.randn(C, 17, 12) + 1j * rng.randn(C, 17, 12)
+        W = rng.randn(17, C, C) + 1j * rng.randn(17, C, C)
+        planes = pair_products_planes(jnp.asarray(X))
+        expected = np.abs(np.einsum("fnc,cft->nft", W, X)) ** 2
+        got = np.asarray(quadratic_power_planes(jnp.asarray(W), planes))
+        np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
+
+
+def test_frame_power_sums_matches_direct(rng):
+    import jax.numpy as jnp
+
+    from audio_source_separation_tpu.ops.ip_components import (
+        frame_power_sums,
+        pair_products_planes,
+    )
+
+    for C in (2, 3):
+        X = rng.randn(C, 17, 12) + 1j * rng.randn(C, 17, 12)
+        W = rng.randn(17, C, C) + 1j * rng.randn(17, C, C)
+        planes = pair_products_planes(jnp.asarray(X))
+        rows = [
+            [jnp.asarray(W[:, n, c]) for c in range(C)] for n in range(C)
+        ]
+        Y = np.einsum("fnc,cft->nft", W, X)
+        expected = np.sum(np.abs(Y) ** 2, axis=1)  # (N, T)
+        got = np.asarray(frame_power_sums(rows, planes))
+        np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+
+def test_gram_components_matches_direct(rng):
+    import jax.numpy as jnp
+
+    from audio_source_separation_tpu.ops.ip_components import (
+        gram_components,
+        pair_products_planes,
+    )
+
+    for C in (2, 3):
+        X = rng.randn(C, 9, 21) + 1j * rng.randn(C, 9, 21)
+        G = gram_components(pair_products_planes(jnp.asarray(X)))
+        for c in range(C):
+            for d in range(C):
+                expected = np.sum(X[c] * X[d].conj(), axis=-1)  # (F,)
+                np.testing.assert_allclose(
+                    np.asarray(G[c][d]), expected, rtol=1e-10
+                )
+
+
+def test_projection_back_components_matches_projection_back(rng):
+    """The O(F) Gram restatement must reproduce the (F, T)-reduction
+    projection_back exactly (same ridge convention)."""
+    import jax.numpy as jnp
+
+    from audio_source_separation_tpu.algorithm.projection_back import (
+        projection_back,
+    )
+    from audio_source_separation_tpu.ops.ip_components import (
+        gram_components,
+        pair_products_planes,
+        projection_back_components,
+    )
+
+    for C in (2, 3):
+        X = rng.randn(C, 9, 31) + 1j * rng.randn(C, 9, 31)
+        W = rng.randn(9, C, C) + 1j * rng.randn(9, C, C)
+        Y = np.einsum("fnc,cft->nft", W, X)
+        expected = np.asarray(
+            projection_back(jnp.asarray(Y), reference=jnp.asarray(X[0]))
+        )  # (N, F)
+        planes = pair_products_planes(jnp.asarray(X))
+        rows = [
+            [jnp.asarray(W[:, n, c]) for c in range(C)] for n in range(C)
+        ]
+        got = np.stack(
+            [
+                np.asarray(s)
+                for s in projection_back_components(
+                    rows, gram_components(planes), reference_id=0
+                )
+            ]
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-8, atol=1e-10)
