@@ -252,11 +252,13 @@ def test_tilrma_nu1_float32_long_run_stays_finite(rng):
     ],
     ids=["gauss-ip", "gauss-ip2", "t-nu1"],
 )
-def test_power_only_scan_matches_complex_scan(rng, make):
+@pytest.mark.parametrize("n_channels", [2, 3])
+def test_power_only_scan_matches_complex_scan(rng, make, n_channels):
     """Round-4 power-only scan (estimation_power restored from the planes
     quadratic form; no complex (N, F, T) estimate in the loop) must match
-    the complex-restore scan to fp precision."""
-    X = make_mixture(rng, n_channels=2, n_bins=17, n_frames=40)
+    the complex-restore scan to fp precision (C = 3 exercises the 9-plane
+    cross-term expansion)."""
+    X = make_mixture(rng, n_channels=n_channels, n_bins=17, n_frames=40)
 
     outs = {}
     for mode in (True, False):

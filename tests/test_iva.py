@@ -314,12 +314,14 @@ def test_auxiva_ip2_step_parity(rng):
     )
 
 
-def test_power_only_scan_matches_complex_scan(rng):
+@pytest.mark.parametrize("n_channels", [2, 3])
+def test_power_only_scan_matches_complex_scan(rng, n_channels):
     """The round-4 power-only scan (no complex estimates inside the loop;
     frame weights from one real GEMM over the invariant pair-product planes)
     must reproduce the complex-carry scan to fp precision, for both
-    contrasts."""
-    X = make_mixture(rng, n_channels=2, n_bins=17, n_frames=40)
+    contrasts and for every channel count the gate admits (C ≤ 4; C = 3
+    exercises the 9-plane cross-term expansion)."""
+    X = make_mixture(rng, n_channels=n_channels, n_bins=17, n_frames=40)
 
     for cls in (AuxLaplaceIVA, AuxGaussIVA):
         outs = {}
