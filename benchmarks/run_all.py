@@ -192,9 +192,9 @@ def main():
         ("NatGradLaplaceIVA", 400, lambda: NaturalGradLaplaceIVA(recordable_loss=False)),
         ("ProxLaplaceIVA", 400, lambda: ProxLaplaceIVA(recordable_loss=False)),
         ("ConsistentILRMA (K=10)", 100, lambda: ConsistentGaussILRMA(n_basis=10, fft_size=4096, hop_size=2048, recordable_loss=False)),
-        ("GaussIPSDTA Kondo (K=2)", 5, lambda: GaussIPSDTA(n_basis=2, author="Kondo", recordable_loss=False)),
-        ("GaussIPSDTA Ikeshita (K=2)", 5, lambda: GaussIPSDTA(n_basis=2, author="Ikeshita", recordable_loss=False)),
-        ("tIPSDTA Kondo (K=2)", 5, lambda: TIPSDTA(n_basis=2, nu=1000, recordable_loss=False)),
+        ("GaussIPSDTA Kondo (K=2, 1024 blocks)", 5, lambda: GaussIPSDTA(n_basis=2, author="Kondo", recordable_loss=False)),
+        ("GaussIPSDTA Ikeshita (K=2, 1024 blocks)", 5, lambda: GaussIPSDTA(n_basis=2, author="Ikeshita", recordable_loss=False)),
+        ("tIPSDTA Kondo (K=2, 1024 blocks)", 5, lambda: TIPSDTA(n_basis=2, nu=1000, recordable_loss=False)),
         ("AuxGaussIVA-IP", 400, lambda: AuxGaussIVA(algorithm_spatial="IP", recordable_loss=False)),
         ("GradLaplaceFDICA", 400, lambda: GradLaplaceFDICA(recordable_loss=False)),
     ]
