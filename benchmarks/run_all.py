@@ -512,6 +512,47 @@ def main():
             "Data-parallel throughput (batched AuxIVA-IP, vmapped scan,",
             "{}): **{:.0f} mixtures/s** at batch 16.".format(dp_config, dp_rate),
         ]
+    # power-only vs complex-restore scan A/B (benchmarks/power_ab.py artifact)
+    power_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "POWER_AB.json"
+    )
+    if os.path.exists(power_path):
+        with open(power_path) as f:
+            power_rows = [
+                r for r in json.load(f)["rows"] if "iters_per_sec" in r
+            ]
+        by_solver = {}
+        for r in power_rows:
+            by_solver.setdefault(r["solver"], {})[r["mode"]] = r["iters_per_sec"]
+        pairs = {
+            name: modes
+            for name, modes in by_solver.items()
+            if "power" in modes and "complex" in modes
+        }
+        if pairs:
+            lines += [
+                "",
+                "## Power-only scan A/B (round 4)",
+                "",
+                "Same solver, same config; `power` never materializes the",
+                "complex (N, F, T) estimates inside the scan (|Y|² restored as",
+                "an all-real quadratic form over the invariant pair-product",
+                "planes, `ops/ip_components.py`); `complex` is the former",
+                "restore path (`power_ab.py`, differenced methodology).",
+                "",
+                "| Solver | power iters/s | complex iters/s | power/complex |",
+                "|---|---|---|---|",
+            ]
+            for name, modes in pairs.items():
+                lines.append(
+                    "| {} | {:.0f} | {:.0f} | {:.2f}x |".format(
+                        name,
+                        modes["power"],
+                        modes["complex"],
+                        modes["power"] / modes["complex"],
+                    )
+                )
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
