@@ -166,11 +166,9 @@ def projection_back_components(rows, G, reference_id=0, ridge_rel=1e-12):
     det = det_components(YY, n_sources)
     scales = []
     for s in range(n_sources):
-        # cofactor expansion: (YY^{-1})[:, s] · xY == Σ_j xY[j]·C_sj/det,
-        # with C the cofactor matrix — reuse the column solve helper
+        # scale row vector = xY · YY^{-1}: element s is Σ_j xY[j]·inv[j][s],
+        # i.e. the dot of xY with COLUMN s of YY^{-1} (adjugate column solve)
         col = solve_column_components(YY, n_sources, s, det=det)
-        # col solves YY^H? — solve_column_components returns column s of
-        # YY^{-1}; the row-vector product is Σ_j xY[j]·inv[j][s]
         scales.append(sum(xY[j] * col[j] for j in range(n_sources)))
     return scales
 
