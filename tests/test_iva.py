@@ -314,13 +314,14 @@ def test_auxiva_ip2_step_parity(rng):
     )
 
 
-@pytest.mark.parametrize("n_channels", [2, 3])
+@pytest.mark.parametrize("n_channels", [2, 3, 4])
 def test_power_only_scan_matches_complex_scan(rng, n_channels):
     """The round-4 power-only scan (no complex estimates inside the loop;
     frame weights from one real GEMM over the invariant pair-product planes)
     must reproduce the complex-carry scan to fp precision, for both
-    contrasts and for every channel count the gate admits (C ≤ 4; C = 3
-    exercises the 9-plane cross-term expansion)."""
+    contrasts and for every channel count the gate admits (C = 3 exercises
+    the cross-term expansion, C = 4 the gate bound and the generic Laplace
+    adjugates)."""
     X = make_mixture(rng, n_channels=n_channels, n_bins=17, n_frames=40)
 
     for cls in (AuxLaplaceIVA, AuxGaussIVA):

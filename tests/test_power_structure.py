@@ -77,7 +77,7 @@ def _leaves(v):
     return [x for x in jax.tree_util.tree_leaves(v) if hasattr(x, "size")]
 
 
-@pytest.mark.parametrize("n_channels", [2, 3])
+@pytest.mark.parametrize("n_channels", [2, 3, 4])
 def test_auxiva_power_body_structure(rng, n_channels):
     X = make_mixture(rng, n_channels=n_channels, n_bins=17, n_frames=40)
     for cls in (AuxLaplaceIVA, AuxGaussIVA):
