@@ -42,16 +42,18 @@ def cond_guard(A, A_inv=None, threshold=1e12, guard="one_norm"):
 
 def psd_quadratic_form(U, w):
     """``w^H U w`` for Hermitian PSD ``U (..., C, C)``, ``w (..., C)`` —
-    computed from the eigendecomposition with clamped eigenvalues,
-    ``Σ_i max(λ_i, 0)·|v_i^H w|²``: a sum of non-negative terms, so f32
+    fused quadratic form clamped at 0: the exact value is ≥ 0, so f32
     catastrophic cancellation (extreme source-model weights, e.g. tILRMA at
-    ``nu=1``) can cost accuracy but never flip the sign and NaN the
-    ``sqrt``.  Matrix-layout dual of
-    ``ip_components.cholesky_quadratic_components``.
+    ``nu=1``) can only land at rounding noise below zero, and the clamp
+    keeps the downstream ``sqrt`` from NaNing (an earlier eigh
+    sum-of-non-negative-terms form gave the same guarantee but paid a full
+    batched eigendecomposition per source per sweep on this fallback path
+    — on the guarded-parity ``guard='svd'`` configs that stacked a second
+    iterative kernel on top of the guard's own per-bin SVD).  The
+    component-layout dual is ``ip_components.cholesky_quadratic_components``.
     """
-    lam, V = jnp.linalg.eigh(U)
-    proj = jnp.einsum("...ci,...c->...i", V.conj(), w)
-    return jnp.sum(jnp.maximum(lam, 0.0) * jnp.abs(proj) ** 2, axis=-1)
+    wUw = jnp.einsum("...c,...cd,...d->...", w.conj(), U, w)
+    return jnp.maximum(wUw.real, 0.0)
 
 
 def ip_update(W, U, threshold=1e12, guard="one_norm", denom_floor=None):

@@ -98,7 +98,12 @@ def frame_power_sums(rows, planes):
                 per_plane.append(-2.0 * a.imag)
         wts.append(jnp.stack(per_plane))  # (C², F)
     W = jnp.stack(wts)  # (N, C², F)
-    return jnp.einsum("npf,pft->nt", W, planes)
+    # exact value is a sum of |·|² ≥ 0, but the cross-term expansion can
+    # cancel slightly negative in f32 (same hazard as
+    # quadratic_power_components; a demixing row that nulls the mixture in
+    # a frame lands at rounding noise) — clamp so the downstream
+    # sqrt(psum) contrasts never NaN before their eps floors
+    return jnp.maximum(jnp.einsum("npf,pft->nt", W, planes), 0.0)
 
 
 def gram_components(planes):

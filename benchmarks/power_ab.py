@@ -41,7 +41,28 @@ def make_input(n_channels=2, n_bins=2049, n_frames=469, dtype=np.complex64):
 
 def force_complex(solver):
     """Per-instance override of the power-only gate (same trick as the
-    toggle-equivalence tests)."""
+    toggle-equivalence tests).
+
+    FastMNMF has no ``_power_only_scan`` gate — its power path is the
+    carried ``qx_power`` computed via ``quadratic_power_planes`` whenever
+    ``pair_products`` is in the state — so its "complex" arm overrides
+    ``_compute_qx_power`` to take the complex-materialize fallback (the
+    diagonalizer's planes IP sweep, a separate round-3 lever, stays on in
+    both arms: this A/B isolates the |Qx|² representation only)."""
+    if isinstance(solver, FastMultichannelISNMF):
+        base_compute = type(solver)._compute_qx_power
+
+        def _complex_qx(state):
+            return base_compute(
+                {k: v for k, v in state.items() if k != "pair_products"}
+            )
+
+        solver.__class__ = type(
+            "NoPower" + type(solver).__name__,
+            (type(solver),),
+            {"_compute_qx_power": staticmethod(_complex_qx)},
+        )
+        return solver
     if hasattr(type(solver), "power_scan"):
         solver.power_scan = False
         return solver

@@ -34,8 +34,11 @@ import jax
 REFERENCE_SRC = "/root/reference/src"
 
 
-def make_fixture(sr=16000, seconds=4.0, degrees=(45, 315), mics=(3, 4), seed=111):
-    from prepare_mixture import _synthetic_speech
+def make_fixture(
+    sr=16000, seconds=4.0, degrees=(45, 315), mics=(3, 4), seed=111,
+    data_root=None,
+):
+    from prepare_mixture import _load_mird_rir, _synthetic_speech
     from audio_source_separation_tpu.utils.synthesis import mird_geometry_rirs
 
     n = int(seconds * sr)
@@ -46,7 +49,16 @@ def make_fixture(sr=16000, seconds=4.0, degrees=(45, 315), mics=(3, 4), seed=111
     # images[:, 0] is the reference-mic ground truth every row scores against
     images_multi = np.zeros((len(degrees), len(mics), n))
     for s, deg in enumerate(degrees):
-        rir = mird_geometry_rirs(deg, samples=taps, seed=seed)  # (taps, 8)
+        rir = None
+        if data_root is not None:
+            # measured MIRD RIR, truncated raw exactly like the reference
+            # (local/prepare.py:58-65 — no resampling); degrees outside the
+            # MIRD set (e.g. 180°) fall back to the synthetic geometry
+            rir = _load_mird_rir(data_root, 0.16, "3-3-3-8-3-3-3", 1.0, deg)
+            if rir is not None:
+                rir = np.asarray(rir)[:taps]
+        if rir is None:
+            rir = mird_geometry_rirs(deg, samples=taps, seed=seed)  # (taps, 8)
         for mi, m in enumerate(mics):
             contrib = np.convolve(sources[s], rir[:, m])[:n]
             mixture[mi] += contrib
@@ -57,22 +69,19 @@ def make_fixture(sr=16000, seconds=4.0, degrees=(45, 315), mics=(3, 4), seed=111
 def _reference_modules():
     """Import the reference with the NumPy-1.x ``linalg.solve`` shim (the
     reference calls ``solve(A (F,C,C), b (F,C))`` with stacked-vector
-    semantics NumPy ≥ 2 no longer accepts)."""
-    original_solve = np.linalg.solve
+    semantics NumPy ≥ 2 no longer accepts; single home:
+    ``tests/_reference_compat.py``).  The reference solvers run throughout
+    the sweep, so the shim context is entered and deliberately never
+    exited."""
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+        ),
+    )
+    from _reference_compat import legacy_solve_shim
 
-    def legacy_solve(a, b):
-        a = np.asarray(a)
-        b = np.asarray(b)
-        if (
-            b.ndim == a.ndim - 1
-            and a.shape[:-2] == b.shape[:-1]
-            and a.shape[-1] == b.shape[-1]
-        ):
-            return original_solve(a, b[..., None])[..., 0]
-        return original_solve(a, b)
-
-    np.linalg.solve = legacy_solve
-    sys.path.insert(0, REFERENCE_SRC)
+    legacy_solve_shim(REFERENCE_SRC).__enter__()
     import bss.fdica as ref_fdica
     import sss.idlma as ref_idlma
     import bss.ilrma as ref_ilrma
@@ -108,6 +117,14 @@ def main():
         action="store_true",
         help="force the CPU backend (the axon TPU plugin ignores JAX_PLATFORMS)",
     )
+    parser.add_argument(
+        "--data-root",
+        default=None,
+        help="dataset root from examples/prepare_mixture.py --mird: measured "
+        "MIRD .mat RIRs under {root}/MIRD/ are used for the fixture when "
+        "present (reference truncation semantics); synthetic-geometry "
+        "fallback otherwise",
+    )
     args = parser.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -140,13 +157,15 @@ def main():
     ref = _reference_modules() if args.reference and os.path.isdir(REFERENCE_SRC) else None
 
     fft_size, hop = 2048, 1024
-    mixture, images, images_multi = make_fixture()
+    mixture, images, images_multi = make_fixture(data_root=args.data_root)
     X = np.asarray(asst.stft(mixture, fft_size=fft_size, hop_size=hop))
-    mixture4, images4, _ = make_fixture(mics=(2, 3, 4, 5))
+    mixture4, images4, _ = make_fixture(mics=(2, 3, 4, 5), data_root=args.data_root)
     X4 = np.asarray(asst.stft(mixture4, fft_size=fft_size, hop_size=hop))
     # 3 sources / 3 mics: exercises the C=3 closed-form adjugate/eigen paths
     # (det/inv_planes, 3x3 IP solves) on real mixtures on the real backend
-    mixture3, images3, _ = make_fixture(degrees=(45, 180, 315), mics=(2, 4, 6))
+    mixture3, images3, _ = make_fixture(
+        degrees=(45, 180, 315), mics=(2, 4, 6), data_root=args.data_root
+    )
     X3 = np.asarray(asst.stft(mixture3, fft_size=fft_size, hop_size=hop))
 
     def sdri(Y, mix=None, imgs=None):

@@ -22,32 +22,15 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def reference_modules():
-    """Import the reference with a NumPy-1.x ``linalg.solve`` shim: the
-    reference calls ``solve(A (F,C,C), b (F,C))`` with stacked-vector
-    semantics that NumPy ≥ 2 no longer accepts."""
-    original_solve = np.linalg.solve
+    """Import the reference with the shared NumPy-1.x ``linalg.solve`` shim
+    (``tests/_reference_compat.py``)."""
+    from _reference_compat import legacy_solve_shim
 
-    def legacy_solve(a, b):
-        a = np.asarray(a)
-        b = np.asarray(b)
-        if (
-            b.ndim == a.ndim - 1
-            and a.shape[:-2] == b.shape[:-1]
-            and a.shape[-1] == b.shape[-1]
-        ):
-            return original_solve(a, b[..., None])[..., 0]
-        return original_solve(a, b)
-
-    sys.path.insert(0, REFERENCE_SRC)
-    np.linalg.solve = legacy_solve
-    try:
+    with legacy_solve_shim():
         import bss.iva as ref_iva
         import bss.ilrma as ref_ilrma
 
         yield ref_iva, ref_ilrma
-    finally:
-        np.linalg.solve = original_solve
-        sys.path.remove(REFERENCE_SRC)
 
 
 def _mixture(rng, n_channels=2, n_bins=65, n_frames=48):

@@ -63,37 +63,8 @@ def song():
     return x, piano, violin
 
 
-class _reference_bss:
-    """Import a reference ``bss.<module>`` with the NumPy-1.x stacked-vector
-    solve shim active (same convention as ``tests/test_reference_parity``)."""
-
-    def __init__(self, module):
-        self.module = module
-
-    def __enter__(self):
-        self._original_solve = np.linalg.solve
-        original_solve = self._original_solve
-
-        def legacy_solve(a, b):
-            a, b = np.asarray(a), np.asarray(b)
-            if (
-                b.ndim == a.ndim - 1
-                and a.shape[:-2] == b.shape[:-1]
-                and a.shape[-1] == b.shape[-1]
-            ):
-                return original_solve(a, b[..., None])[..., 0]
-            return original_solve(a, b)
-
-        sys.path.insert(0, REFERENCE_SRC)
-        np.linalg.solve = legacy_solve
-        import importlib
-
-        return importlib.import_module("bss." + self.module)
-
-    def __exit__(self, *exc):
-        np.linalg.solve = self._original_solve
-        sys.path.remove(REFERENCE_SRC)
-        return False
+# single shared home for the NumPy-1.x solve shim (CLAUDE.md gotcha)
+from _reference_compat import reference_bss as _reference_bss  # noqa: E402
 
 
 def test_auxiva_ip_sample_song_reference_parity(song):
