@@ -297,10 +297,19 @@ class MultichannelISNMF(MultichannelNMFBase):
     def _inv_xhat_planes(self, state, Xh=None):
         """Adjugate inverse of ``X̂ + eps·I`` in planes layout (TPU's batched
         LU kernel can fault on hard (F, T, C, C) batches — observed on
-        hardware)."""
+        hardware).
+
+        Both the reconstruction and its inverse sit behind optimization
+        barriers (the Ozerov E/M lever, CLAUDE.md round 4): ``X̂`` is read
+        C²-fold by the adjugate minors and ``X̂⁻¹`` feeds THREE downstream
+        contractions per call site (two plane matmuls building
+        ``X̂⁻¹XX̂⁻¹`` plus the trace/frame reduction) — without the
+        barriers XLA's fusion re-expands the S-sum reconstruction and the
+        minor chain into every consumer."""
         if Xh is None:
-            Xh = self._xhat_planes(state)
-        return inv_planes(add_diag_planes(Xh, jnp.full(Xh.shape[2:], self.eps)))
+            Xh = jax.lax.optimization_barrier(self._xhat_planes(state))
+        inv = inv_planes(add_diag_planes(Xh, jnp.full(Xh.shape[2:], self.eps)))
+        return jax.lax.optimization_barrier(inv)
 
     def _trace_terms(self, state):
         """``tr(X̂⁻¹XX̂⁻¹ H)`` and ``tr(X̂⁻¹ H)`` per (bin, source, frame) —
@@ -309,7 +318,12 @@ class MultichannelISNMF(MultichannelNMFBase):
         C = self.n_channels
         n_sources = H.shape[1]
         inv = self._inv_xhat_planes(state)
-        XXX = matmul_planes(matmul_planes(inv, self._cov_planes_complex(state)), inv)
+        # X̂⁻¹XX̂⁻¹ is read once per source by the trace below — barrier so
+        # the two plane matmuls aren't re-expanded per consumer (see
+        # ``_inv_xhat_planes``)
+        XXX = jax.lax.optimization_barrier(
+            matmul_planes(matmul_planes(inv, self._cov_planes_complex(state)), inv)
+        )
 
         def traces(P):
             return jnp.stack(
@@ -326,32 +340,37 @@ class MultichannelISNMF(MultichannelNMFBase):
 
         return traces(XXX), traces(inv)
 
-    def _update_sawada(self, state):
+    def _update_sawada_basis(self, state):
+        """Basis MU (``mnmf.py:377-398``)."""
         eps = self.eps
         Z, T, V = state["latent"], state["basis"], state["activation"]
-
-        # basis (``mnmf.py:377-398``)
         tn, td = self._trace_terms(state)
         num = jnp.einsum("sk,kt,fst->fk", Z, V, tn)
         den = floor_below(jnp.einsum("sk,kt,fst->fk", Z, V, td), eps)
-        T = T * jnp.sqrt(num / den)
-        state = dict(state, basis=T)
+        return dict(state, basis=T * jnp.sqrt(num / den))
 
-        # activation (``mnmf.py:400-421``)
+    def _update_sawada_activation(self, state):
+        """Activation MU (``mnmf.py:400-421``)."""
+        eps = self.eps
+        Z, T, V = state["latent"], state["basis"], state["activation"]
         tn, td = self._trace_terms(state)
         num = jnp.einsum("sk,fk,fst->kt", Z, T, tn)
         den = floor_below(jnp.einsum("sk,fk,fst->kt", Z, T, td), eps)
-        V = V * jnp.sqrt(num / den)
-        state = dict(state, activation=V)
+        return dict(state, activation=V * jnp.sqrt(num / den))
 
-        # latent (``mnmf.py:423-447``)
+    def _update_sawada_latent(self, state):
+        """Latent MU + simplex renormalization (``mnmf.py:423-447``)."""
+        eps = self.eps
+        Z, T, V = state["latent"], state["basis"], state["activation"]
         tn, td = self._trace_terms(state)
         num = jnp.einsum("fk,kt,fst->sk", T, V, tn)
         den = floor_below(jnp.einsum("fk,kt,fst->sk", T, V, td), eps)
         Z = Z * jnp.sqrt(num / den)
         Z = Z / floor_below(Z.sum(axis=0), eps)
-        state = dict(state, latent=Z)
+        return dict(state, latent=Z)
 
+    def _update_sawada_spatial(self, state):
+        eps = self.eps
         # spatial via Riccati (``mnmf.py:449-473``): the frame contractions
         # ``A = Σ_t ZTV·X̂⁻¹`` / ``Σ_t ZTV·X̂⁻¹XX̂⁻¹`` are per-entry plane
         # reductions; the Riccati solve itself runs on the small (F, S, C, C)
@@ -360,7 +379,9 @@ class MultichannelISNMF(MultichannelNMFBase):
         C = self.n_channels
         n_sources = H.shape[1]
         inv = self._inv_xhat_planes(state)
-        XXX = matmul_planes(matmul_planes(inv, self._cov_planes_complex(state)), inv)
+        XXX = jax.lax.optimization_barrier(
+            matmul_planes(matmul_planes(inv, self._cov_planes_complex(state)), inv)
+        )
         ZTV = self._ztv(state).astype(H.dtype)
 
         def contract_t(P):
@@ -392,6 +413,12 @@ class MultichannelISNMF(MultichannelNMFBase):
         if self.normalize:
             H = H / jnp.trace(H, axis1=-2, axis2=-1)[..., None, None]
         return dict(state, spatial=H)
+
+    def _update_sawada(self, state):
+        state = self._update_sawada_basis(state)
+        state = self._update_sawada_activation(state)
+        state = self._update_sawada_latent(state)
+        return self._update_sawada_spatial(state)
 
     def _nll_sawada(self, state):
         """Log-det divergence between the PSD-projected observed and model

@@ -101,6 +101,65 @@ def fastmnmf_stages():
     return rows
 
 
+def sawada_stages():
+    X = make_input()
+    rows = []
+    factory = lambda: MultichannelISNMF(n_basis=10, recordable_loss=False)  # noqa: E731
+
+    stages = [
+        ("Sawada full iteration", lambda s: s.update_state, 100),
+        ("  basis MU", lambda s: s._update_sawada_basis, 300),
+        ("  activation MU", lambda s: s._update_sawada_activation, 300),
+        ("  latent MU", lambda s: s._update_sawada_latent, 300),
+        ("  spatial (Riccati)", lambda s: s._update_sawada_spatial, 300),
+    ]
+    for name, ufo, iters in stages:
+        bench_stage(name, factory, X, ufo, iters, rows)
+    return rows
+
+
+def ipsdta_stages():
+    """Kondo (MM source + VCD spatial): attribute the signed bound — which
+    half of the 84 iters/s iteration actually costs (the serial VCD sweep
+    was the structural argument; this measures it)."""
+    from audio_source_separation_tpu.models import GaussIPSDTA
+    from audio_source_separation_tpu.models.ipsdta import _f32_matmuls
+
+    X = make_input()
+    rows = []
+    factory = lambda: GaussIPSDTA(  # noqa: E731
+        n_basis=2, author="Kondo", recordable_loss=False
+    )
+
+    def source_only(solver):
+        @_f32_matmuls
+        def fn(state):
+            layout = solver._layout(state["input"].shape[1])
+            s2 = solver._update_source_mm(state, layout)
+            return solver._normalize_psdtf(s2)
+
+        return fn
+
+    def spatial_only(solver):
+        @_f32_matmuls
+        def fn(state):
+            layout = solver._layout(state["input"].shape[1])
+            return solver._update_spatial_vcd(
+                state, layout, n_spatial=solver.spatial_iteration
+            )
+
+        return fn
+
+    stages = [
+        ("IPSDTA Kondo full iteration", lambda s: s.update_state, 5),
+        ("  source MM + normalize", source_only, 15),
+        ("  spatial VCD sweep", spatial_only, 15),
+    ]
+    for name, ufo, iters in stages:
+        bench_stage(name, factory, X, ufo, iters, rows)
+    return rows
+
+
 def ozerov_stages():
     X = make_input()
     rows = []
@@ -137,9 +196,12 @@ def ozerov_stages():
 def main():
     fast = fastmnmf_stages()
     oz = ozerov_stages()
+    saw = sawada_stages()
+    ips = ipsdta_stages()
+    rows = fast + oz + saw + ips
     print("\n| Stage | iters/s | ms/iter | XLA op MB | XLA GFLOP |")
     print("|---|---|---|---|---|")
-    for r in fast + oz:
+    for r in rows:
         print(
             "| {} | {} | {} | {} | {} |".format(
                 r["stage"], r.get("iters_per_sec", "-"),
@@ -150,7 +212,7 @@ def main():
     # artifact consumed by run_all.py when it regenerates RESULTS.md
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "STAGES.json")
     with open(out, "w") as f:
-        json.dump({"rows": fast + oz}, f, indent=1)
+        json.dump({"rows": rows}, f, indent=1)
     print("wrote", out)
 
 
