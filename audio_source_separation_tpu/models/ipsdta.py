@@ -45,6 +45,7 @@ from ..ops.fast_linalg import (
     batched_inv,
     batched_log_abs_det,
     inv_planes,
+    matmul_planes,
     matmul_small,
     psd_inv_planes,
     psd_parts_planes,
@@ -271,6 +272,9 @@ class IPSDTABase(IVABase):
         self.n_basis = n_basis
         self.normalize = normalize
         self.reference_id = reference_id
+        # planes-layout source step (round-4 experiment; flip per instance
+        # for A/B — enabled by default only where measured to win)
+        self.source_planes = False
 
 
 class GaussIPSDTA(IPSDTABase):
@@ -493,6 +497,210 @@ class GaussIPSDTA(IPSDTABase):
         den = jnp.einsum("stbij,skbji->skt", inv_R, U).real
         num = jnp.maximum(num, 0)
         den = floor_below(den, eps)
+        V_new = V * jnp.sqrt(num / den)
+        return dict(state, activation=V_new)
+
+    # ------------------------------------------------------------------ #
+    # source model — planes layout (round 4): the matrix-layout source
+    # steps above stream (S, T, n_blocks, B, B) tensors whose B ≤ 3 minors
+    # pad to the 8×128 tile wherever fusion materializes them; these duals
+    # keep the tiny (B, B) axes LEADING (same convention as the VCD planes
+    # sweep) so every array crossing a fusion boundary is a fully-tiled
+    # (T, n_blocks) plane, and every t-contraction is one (K, T)×(T, nb)
+    # GEMM per entry.  Math identical entry-by-entry (same closed forms,
+    # ``ops/fast_linalg``); gated by ``self.source_planes``.
+    # ------------------------------------------------------------------ #
+    def _source_planes_preamble(self, state, layout):
+        """Shared planes operands: ``UP (S, K, B, B, nb)``,
+        ``YP (B, S, T, nb)`` (zero-padded), and the identity pad
+        ``padP (B, B, nb)`` injected into every block covariance."""
+        U = self._U_kmajor(state)  # (S, K, nb, B, B)
+        B = layout.block_size
+        UP = jnp.transpose(U, (0, 1, 3, 4, 2))  # (S, K, B, B, nb)
+        y = self._y_blocks(state["estimation"], layout)  # (S, T, nb, B)
+        YP = jnp.transpose(y, (3, 0, 1, 2))  # (B, S, T, nb)
+        invf = jnp.transpose(~layout.valid).astype(U.real.dtype)  # (B, nb)
+        padP = jnp.eye(B, dtype=U.dtype)[:, :, None] * invf[None]  # (B, B, nb)
+        return U, UP, YP, padP
+
+    def _source_R_inv_planes(self, UP_n, V_n, padP, psd, eps):
+        """Per-source ``R = Σ_k U_k V_kt`` (identity-padded, to_psd) and its
+        adjugate inverse in planes ``(B, B, T, nb)`` — the planes dual of
+        ``_R_blocks_parts`` + ``_psd_inv``."""
+        RP = jnp.einsum("kijb,kt->ijtb", UP_n, V_n.astype(UP_n.dtype))
+        RP = RP + padP[:, :, None, :]
+        RP, _ = _psd_parts_planes(RP, eps=eps)
+        return _psd_inv_planes(RP, eps=eps, psd=psd)
+
+    @staticmethod
+    def _solve_y_planes(IP, YP_n):
+        """``z = R⁻¹y`` as B planes ``(T, nb)``."""
+        B = IP.shape[0]
+        return [
+            sum(IP[i, j] * YP_n[j] for j in range(B)) for i in range(B)
+        ]
+
+    def _update_source_em_planes(self, state, layout):
+        """Planes dual of :meth:`_update_source_em` (Ikeshita)."""
+        eps = self.eps
+        V = state["activation"]  # (S, K, T)
+        n_bins = state["input"].shape[1]
+        n_sources = V.shape[0]
+        n_frames = V.shape[-1]
+        U, UP, YP, padP = self._source_planes_preamble(state, layout)
+        B = layout.block_size
+
+        # --- basis:  U_new,k = U_k A_k U_k + U_k
+        A_rows = []
+        for n in range(n_sources):
+            IP = self._source_R_inv_planes(UP[n], V[n], padP, False, eps)
+            Z = self._solve_y_planes(IP, YP[:, n])
+            Vc = V[n].astype(U.dtype)
+            A_rows.append(
+                jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                jnp.einsum(
+                                    "kt,tb->kb",
+                                    Vc,
+                                    Z[i] * Z[j].conj() - IP[i, j],
+                                )
+                                for j in range(B)
+                            ]
+                        )
+                        for i in range(B)
+                    ]
+                )
+            )  # (B, B, K, nb)
+        A = jnp.stack(A_rows)  # (S, B, B, K, nb)
+        A = jnp.transpose(A, (0, 3, 4, 1, 2)) / n_frames  # (S, K, nb, B, B)
+        U_new = U @ A @ U + U
+        U_new = to_psd(layout.zero_padding_matrix(U_new), eps=eps)
+        U_new = layout.zero_padding_matrix(U_new)
+        state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
+
+        # --- activation: V_new = [V²(z^H U z) + V·n_bins − V²·tr(R⁻¹U)]/n_bins
+        U, UP, YP, padP = self._source_planes_preamble(state, layout)
+        zUz_rows, trRU_rows = [], []
+        for n in range(n_sources):
+            IP = self._source_R_inv_planes(UP[n], V[n], padP, False, eps)
+            Z = self._solve_y_planes(IP, YP[:, n])
+            zUz = sum(
+                jnp.einsum(
+                    "kb,tb->kt", UP[n, :, i, j], Z[i].conj() * Z[j]
+                )
+                for i in range(B)
+                for j in range(B)
+            ).real
+            trRU = sum(
+                jnp.einsum("kb,tb->kt", UP[n, :, j, i], IP[i, j])
+                for i in range(B)
+                for j in range(B)
+            ).real
+            zUz_rows.append(zUz)
+            trRU_rows.append(trRU)
+        zUz = jnp.stack(zUz_rows)  # (S, K, T)
+        trRU = jnp.stack(trRU_rows)
+        V_new = (V**2 * zUz + V * n_bins - V**2 * trRU) / n_bins
+        return dict(state, activation=jnp.maximum(V_new, 0.0))
+
+    def _update_source_mm_planes(self, state, layout):
+        """Planes dual of :meth:`_update_source_mm` (Kondo)."""
+        eps = self.eps
+        V = state["activation"]
+        n_sources = V.shape[0]
+        U, UP, YP, padP = self._source_planes_preamble(state, layout)
+        B = layout.block_size
+        pad_diag = (~layout.valid).astype(U.real.dtype)[..., None] * jnp.eye(
+            B, dtype=U.dtype
+        )
+
+        # --- basis (matrix-sqrt chain on the SMALL (S, K, nb, B, B)
+        # statistics; only S_k/T_k accumulate over frames, in planes)
+        Sk_rows, Tk_rows = [], []
+        for n in range(n_sources):
+            IP = self._source_R_inv_planes(UP[n], V[n], padP, True, eps)
+            Z = self._solve_y_planes(IP, YP[:, n])
+            inv2 = matmul_planes(IP, IP)
+            Vc = V[n].astype(U.dtype)
+            Sk_rows.append(
+                jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                jnp.einsum(
+                                    "kt,tb->kb",
+                                    Vc,
+                                    Z[i] * Z[j].conj() + eps * inv2[i, j],
+                                )
+                                for j in range(B)
+                            ]
+                        )
+                        for i in range(B)
+                    ]
+                )
+            )  # (B, B, K, nb)
+            Tk_rows.append(
+                jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                jnp.einsum("kt,tb->kb", Vc, IP[i, j])
+                                for j in range(B)
+                            ]
+                        )
+                        for i in range(B)
+                    ]
+                )
+            )
+        S_k = jnp.transpose(jnp.stack(Sk_rows), (0, 3, 4, 1, 2))
+        T_k = jnp.transpose(jnp.stack(Tk_rows), (0, 3, 4, 1, 2))
+
+        sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
+        sqrt_STUTS, inv_sqrt = _sqrt_and_invsqrt_after_psd(
+            sqrt_S @ U @ T_k @ U @ sqrt_S, pad_diag, eps=eps
+        )
+        del sqrt_STUTS  # only the inverse square root feeds the update
+        U_new = to_psd(U @ sqrt_S @ inv_sqrt @ sqrt_S @ U, eps=eps)
+        U_new = layout.zero_padding_matrix(U_new)
+        state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
+
+        # --- activation (trace ratio) — same algebra as the matrix path:
+        # num = z^H U z + d·tr(U R⁻²), den = tr(R⁻¹U)
+        U, UP, YP, padP = self._source_planes_preamble(state, layout)
+        num_rows, den_rows = [], []
+        for n in range(n_sources):
+            IP = self._source_R_inv_planes(UP[n], V[n], padP, True, eps)
+            Z = self._solve_y_planes(IP, YP[:, n])
+            ynorm = sum((YP[i, n].conj() * YP[i, n]).real for i in range(B))
+            d = eps + eps * (ynorm + B * eps)  # (T, nb)
+            inv2 = matmul_planes(IP, IP)
+            zUz = sum(
+                jnp.einsum(
+                    "kb,tb->kt", UP[n, :, i, j], Z[i].conj() * Z[j]
+                )
+                for i in range(B)
+                for j in range(B)
+            ).real
+            tr_inv2_d = sum(
+                jnp.einsum(
+                    "kb,tb->kt",
+                    UP[n, :, i, j],
+                    d.astype(U.dtype) * inv2[j, i],
+                )
+                for i in range(B)
+                for j in range(B)
+            ).real
+            den = sum(
+                jnp.einsum("kb,tb->kt", UP[n, :, j, i], IP[i, j])
+                for i in range(B)
+                for j in range(B)
+            ).real
+            num_rows.append(zUz + tr_inv2_d)
+            den_rows.append(den)
+        num = jnp.maximum(jnp.stack(num_rows), 0)
+        den = floor_below(jnp.stack(den_rows), eps)
         V_new = V * jnp.sqrt(num / den)
         return dict(state, activation=V_new)
 
@@ -883,10 +1091,22 @@ class GaussIPSDTA(IPSDTABase):
     @_f32_matmuls
     def update_state(self, state):
         layout = self._layout(state["input"].shape[1])
+        # planes source steps use the closed-form B <= 3 linalg duals; larger
+        # blocks (e.g. the 256-block quality geometry, B = 9) stay on the
+        # matrix path with its iterative eigh
+        planes = self.source_planes and layout.block_size <= 3
         if self.algorithm_source == "em":
-            state = self._update_source_em(state, layout)
+            state = (
+                self._update_source_em_planes
+                if planes
+                else self._update_source_em
+            )(state, layout)
         else:
-            state = self._update_source_mm(state, layout)
+            state = (
+                self._update_source_mm_planes
+                if planes
+                else self._update_source_mm
+            )(state, layout)
         if self.normalize:
             state = self._normalize_psdtf(state)
         if self.algorithm_spatial == "fixed-point":
@@ -1048,6 +1268,108 @@ class TIPSDTA(GaussIPSDTA):
         den = jnp.einsum("stbij,skbji->skt", inv_R, U).real
         num = jnp.maximum(pi2[:, None, :] * num, 0)
         den = floor_below(den, eps)
+        V_new = V * jnp.sqrt(num / den)
+        return dict(state, activation=V_new)
+
+    def _pi_weight_planes(self, n, UP, YP, V, padP, n_bins, eps):
+        """Planes dual of :meth:`_pi_weight` for one source: ``π_n (T,)``."""
+        B = UP.shape[2]
+        IP = self._source_R_inv_planes(UP[n], V[n], padP, False, eps)
+        Z = self._solve_y_planes(IP, YP[:, n])
+        yRy = sum((YP[i, n].conj() * Z[i]).real for i in range(B)).sum(axis=-1)
+        return (self.nu + 2 * n_bins) / (self.nu + 2 * yRy)
+
+    def _update_source_mm_planes(self, state, layout):
+        """Planes dual of the t-MM source step: the Gauss planes MM with the
+        posterior weight π folded into the frame statistics."""
+        eps = self.eps
+        V = state["activation"]
+        n_sources = V.shape[0]
+        n_bins = state["input"].shape[1]
+        U, UP, YP, padP = self._source_planes_preamble(state, layout)
+        B = layout.block_size
+        pad_diag = (~layout.valid).astype(U.real.dtype)[..., None] * jnp.eye(
+            B, dtype=U.dtype
+        )
+
+        Sk_rows, Tk_rows = [], []
+        for n in range(n_sources):
+            pi = self._pi_weight_planes(n, UP, YP, V, padP, n_bins, eps)
+            IP = self._source_R_inv_planes(UP[n], V[n], padP, True, eps)
+            Z = self._solve_y_planes(IP, YP[:, n])
+            inv2 = matmul_planes(IP, IP)
+            Vp = (V[n] * pi[None, :]).astype(U.dtype)
+            Vc = V[n].astype(U.dtype)
+            Sk_rows.append(
+                jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                jnp.einsum(
+                                    "kt,tb->kb",
+                                    Vp,
+                                    Z[i] * Z[j].conj() + eps * inv2[i, j],
+                                )
+                                for j in range(B)
+                            ]
+                        )
+                        for i in range(B)
+                    ]
+                )
+            )
+            Tk_rows.append(
+                jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                jnp.einsum("kt,tb->kb", Vc, IP[i, j])
+                                for j in range(B)
+                            ]
+                        )
+                        for i in range(B)
+                    ]
+                )
+            )
+        S_k = jnp.transpose(jnp.stack(Sk_rows), (0, 3, 4, 1, 2))
+        T_k = jnp.transpose(jnp.stack(Tk_rows), (0, 3, 4, 1, 2))
+
+        sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
+        _, inv_sqrt = _sqrt_and_invsqrt_after_psd(
+            sqrt_S @ U @ T_k @ U @ sqrt_S, pad_diag, eps=eps
+        )
+        U_new = to_psd(U @ sqrt_S @ inv_sqrt @ sqrt_S @ U, eps=eps)
+        U_new = layout.zero_padding_matrix(U_new)
+        state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
+
+        # activation: π recomputed with the updated basis, applied to num
+        U, UP, YP, padP = self._source_planes_preamble(state, layout)
+        num_rows, den_rows = [], []
+        for n in range(n_sources):
+            pi2 = self._pi_weight_planes(n, UP, YP, V, padP, n_bins, eps)
+            IP = self._source_R_inv_planes(UP[n], V[n], padP, True, eps)
+            Z = self._solve_y_planes(IP, YP[:, n])
+            inv2 = matmul_planes(IP, IP)
+            zUz = sum(
+                jnp.einsum(
+                    "kb,tb->kt", UP[n, :, i, j], Z[i].conj() * Z[j]
+                )
+                for i in range(B)
+                for j in range(B)
+            ).real
+            tr_inv2_e = sum(
+                jnp.einsum("kb,tb->kt", UP[n, :, i, j], eps * inv2[j, i])
+                for i in range(B)
+                for j in range(B)
+            ).real
+            den = sum(
+                jnp.einsum("kb,tb->kt", UP[n, :, j, i], IP[i, j])
+                for i in range(B)
+                for j in range(B)
+            ).real
+            num_rows.append(pi2[None, :] * (zUz + tr_inv2_e))
+            den_rows.append(den)
+        num = jnp.maximum(jnp.stack(num_rows), 0)
+        den = floor_below(jnp.stack(den_rows), eps)
         V_new = V * jnp.sqrt(num / den)
         return dict(state, activation=V_new)
 

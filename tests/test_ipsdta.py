@@ -195,3 +195,49 @@ def test_vcd_planes_matches_matrix_t(rng):
         atol=1e-10,
         rtol=1e-8,
     )
+
+
+# --------------------------------------------------------------------------- #
+# planes-layout source steps vs matrix-layout (round 4; same closed forms)
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize(
+    "cls,kw",
+    [
+        (GaussIPSDTA, {"author": "Kondo"}),
+        (GaussIPSDTA, {"author": "Ikeshita"}),
+        (TIPSDTA, {"nu": 1.0}),
+    ],
+    ids=["kondo-mm", "ikeshita-em", "t-mm-nu1"],
+)
+def test_source_planes_matches_matrix(rng, cls, kw):
+    solver, state = _vcd_state(rng, cls, n_bins=10, n_blocks=4, **kw)
+    layout = solver._layout(10)
+    assert layout.block_size == 3 and layout.n_remains > 0
+    if solver.algorithm_source == "em":
+        out_m = solver._update_source_em(state, layout)
+        out_p = solver._update_source_em_planes(state, layout)
+    else:
+        out_m = solver._update_source_mm(state, layout)
+        out_p = solver._update_source_mm_planes(state, layout)
+    for key in ("basis", "activation"):
+        np.testing.assert_allclose(
+            np.asarray(out_p[key]),
+            np.asarray(out_m[key]),
+            atol=1e-10,
+            rtol=1e-8,
+        )
+
+
+def test_source_planes_full_solver_parity(rng):
+    """The source_planes toggle is output-invariant through the full jitted
+    solver (3 iterations, remainder-block geometry)."""
+    X = (rng.randn(2, 10, 6) + 1j * rng.randn(2, 10, 6)).astype(np.complex128)
+    outs = []
+    for flag in (False, True):
+        solver = GaussIPSDTA(
+            n_basis=2, n_blocks=4, recordable_loss=False, author="Kondo"
+        )
+        solver.source_planes = flag
+        np.random.seed(111)
+        outs.append(np.asarray(solver(X, iteration=3)))
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-10, rtol=1e-8)
