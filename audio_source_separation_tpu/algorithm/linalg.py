@@ -29,14 +29,26 @@ def _power_2x2(X, power, eps=0.0):
     on hardware inside the Sawada MNMF Riccati chain), and the closed form
     is an order of magnitude faster anyway.
     """
-    tr = X[..., 0, 0].real + X[..., 1, 1].real
-    det = (X[..., 0, 0] * X[..., 1, 1] - X[..., 0, 1] * X[..., 1, 0]).real
+    # scale-invariant evaluation: real covariance chains reach ~1e30-entry
+    # matrices at float32 (Riccati M = A^{1/2}BA^{1/2} on near-silent
+    # frames), where det = λ₁λ₂ overflows to inf and the divided
+    # differences NaN.  Factor out a spectral-radius bound s (exact
+    # algebra: f(M) = f(s·(M/s)) with the clip carried as eps/s).
+    s = (
+        jnp.abs(X[..., 0, 0].real)
+        + jnp.abs(X[..., 1, 1].real)
+        + 2 * jnp.abs(X[..., 0, 1])
+    ) / 2
+    s = jnp.maximum(s, jnp.finfo(s.dtype).tiny)
+    Xn = X / s[..., None, None].astype(X.dtype)
+    tr = Xn[..., 0, 0].real + Xn[..., 1, 1].real
+    det = (Xn[..., 0, 0] * Xn[..., 1, 1] - Xn[..., 0, 1] * Xn[..., 1, 0]).real
     mean = tr / 2
     rad = jnp.sqrt(jnp.maximum(mean**2 - det, 0.0))
-    l1, l2 = mean + rad, mean - rad
+    l1, l2 = mean + rad, mean - rad  # eigenvalues of X / s, O(1)
 
     def f(w):
-        w = jnp.maximum(w, eps)
+        w = jnp.maximum(w, eps / s)
         pw = jnp.where(w > 0, w, 1.0) ** power
         return jnp.where(w > 0, pw, 0.0)
 
@@ -48,7 +60,10 @@ def _power_2x2(X, power, eps=0.0):
     a = jnp.where(safe, (f1 - f2) / gap_safe, 0.0)
     b = jnp.where(safe, (f2 * l1 - f1 * l2) / gap_safe, f1)
     eye = jnp.eye(2, dtype=X.dtype)
-    return a[..., None, None].astype(X.dtype) * X + b[..., None, None] * eye
+    sp = s**power
+    return sp[..., None, None].astype(X.dtype) * (
+        a[..., None, None].astype(X.dtype) * Xn + b[..., None, None] * eye
+    )
 
 
 def hermitian_matrix_power(X, power, eps=0.0):

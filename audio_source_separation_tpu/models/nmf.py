@@ -26,13 +26,15 @@ order (basis then activation, ``nmf.py:41-42``) so seeded runs are
 init-compatible.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..algorithm.linalg import solve_riccati
 from ..ops.fast_linalg import (
     add_diag_planes,
-    det_planes,
+    herm_planes,
+    hermitian_eigvalsh_planes,
     inv_planes,
     matmul_planes,
     trace_planes,
@@ -415,7 +417,7 @@ class MultichannelISNMF(IterativeSolver):
 
     state_fields = ("spatial", "basis", "activation")
     record_initial_loss = False
-    invariant_fields = ("target_planes",)
+    invariant_fields = ("target_planes", "bin_scale")
 
     def __init__(self, n_basis=10, normalize=True, eps=EPS):
         super().__init__(callbacks=None, recordable_loss=True, eps=eps)
@@ -447,10 +449,22 @@ class MultichannelISNMF(IterativeSolver):
                 for c in range(C)
             ]
         )  # (C, C, F, T)
+        # per-bin power equilibration: real spectrogram covariances span
+        # ~24 decades across bins, and the adjugate/Riccati chains overflow
+        # float32 on the extremes.  The MU trace ratios, the Riccati solution
+        # H, and the IS divergence are all EXACTLY invariant under the joint
+        # reparametrization (X, T) → (X/s, T/s) per bin (the eps ridge moves
+        # from absolute to bin-relative — a documented divergence from
+        # ``nmf.py:678-815``'s float64 regime); :meth:`finalize` restores
+        # ``T·s``, so the public fixture is unchanged.
+        scale = trace_planes(target_planes).mean(axis=-1) / C  # (F,)
+        scale = jnp.maximum(scale, jnp.finfo(scale.dtype).tiny)
+        target_planes = target_planes / scale[:, None].astype(target_planes.dtype)
         return {
             "target_planes": target_planes,
+            "bin_scale": scale,
             "spatial": spatial,
-            "basis": basis,
+            "basis": basis / scale[:, None].astype(basis.dtype),
             "activation": activation,
         }
 
@@ -473,8 +487,13 @@ class MultichannelISNMF(IterativeSolver):
         )
 
     def _inv_xhat_planes(self, state):
-        Xh = self._xhat_planes(state)
-        return inv_planes(add_diag_planes(Xh, jnp.full(Xh.shape[2:], self.eps)))
+        # barriers as in MultichannelISNMF._inv_xhat_planes: X̂ is read
+        # C²-fold by the adjugate minors and X̂⁻¹ feeds three contractions
+        # per call site — without them XLA re-expands the K-sum
+        # reconstruction into every consumer
+        Xh = jax.lax.optimization_barrier(self._xhat_planes(state))
+        inv = inv_planes(add_diag_planes(Xh, jnp.full(Xh.shape[2:], self.eps)))
+        return jax.lax.optimization_barrier(inv)
 
     def _trace_planes_stats(self, state):
         """``tr(X̂⁻¹XX̂⁻¹ H_k)`` and ``tr(X̂⁻¹ H_k)`` as per-basis planes
@@ -482,8 +501,8 @@ class MultichannelISNMF(IterativeSolver):
         H = state["spatial"]
         C, K = H.shape[-1], H.shape[1]
         inv = self._inv_xhat_planes(state)
-        XXX = matmul_planes(
-            matmul_planes(inv, state["target_planes"]), inv
+        XXX = jax.lax.optimization_barrier(
+            matmul_planes(matmul_planes(inv, state["target_planes"]), inv)
         )
 
         def traces(P):
@@ -501,7 +520,7 @@ class MultichannelISNMF(IterativeSolver):
     def update_state(self, state):
         eps = self.eps
         n_channels = state["target_planes"].shape[0]
-        eye = jnp.eye(n_channels)
+        eye = jnp.eye(n_channels, dtype=state["spatial"].dtype)
 
         # --- basis ---
         H, T, V = state["spatial"], state["basis"], state["activation"]
@@ -522,8 +541,8 @@ class MultichannelISNMF(IterativeSolver):
         # --- spatial (Riccati): frame contractions are per-entry plane
         # reductions; the solve runs on the small (F, K, C, C) results ---
         inv = self._inv_xhat_planes(state)
-        XXX = matmul_planes(
-            matmul_planes(inv, state["target_planes"]), inv
+        XXX = jax.lax.optimization_barrier(
+            matmul_planes(matmul_planes(inv, state["target_planes"]), inv)
         )
         Vc = V.astype(H.dtype)
 
@@ -560,18 +579,29 @@ class MultichannelISNMF(IterativeSolver):
 
     def nll(self, state):
         """Multichannel IS divergence (``criterion/divergence.py:63-81``
-        semantics) in planes layout."""
+        semantics) in planes layout.  The log-det splits into eigvalsh-floored
+        per-operand log-dets (the ``_nll_sawada`` pattern): snapshot
+        covariances are rank-1, so ``det(X·X̂⁻¹)`` rounds ≤ 0 at float32 and
+        the direct ``log(det)`` NaNs."""
         eps = self.eps
         ridge = jnp.full(state["target_planes"].shape[2:], eps)
         Xp = add_diag_planes(state["target_planes"], ridge)
         Xh = add_diag_planes(self._xhat_planes(state), ridge)
         XX = matmul_planes(Xp, inv_planes(Xh))
         trace = trace_planes(XX)
-        logdet = jnp.log(det_planes(XX).real)
+        wX = hermitian_eigvalsh_planes(herm_planes(Xp))
+        wH = hermitian_eigvalsh_planes(herm_planes(Xh))
+        logdet = (
+            jnp.log(jnp.maximum(wX, eps)) - jnp.log(jnp.maximum(wH, eps))
+        ).sum(axis=0)
         return (trace - logdet - Xp.shape[0]).sum()
 
     def finalize(self, state):
-        return state["spatial"], state["basis"], state["activation"]
+        # leave the per-bin equilibration frame (see init_state)
+        basis = state["basis"] * state["bin_scale"][:, None].astype(
+            state["basis"].dtype
+        )
+        return state["spatial"], basis, state["activation"]
 
     def __call__(self, target, iteration=100, **kwargs):
         return super().__call__(np.asarray(target), iteration=iteration, **kwargs)

@@ -150,6 +150,34 @@ def test_multichannel_isnmf(rng):
     )
 
 
+def test_multichannel_isnmf_float32_dynamic_range(rng):
+    """Real spectrogram covariances span ~24 decades across bins/frames
+    (digital silence next to loud passages); at float32 the unequilibrated
+    adjugate/Riccati chains overflow (round-4 fix: per-bin equilibration in
+    ``init_state``, scale-invariant ``_power_2x2``, eigvalsh-floored nll)."""
+    F, T, C, K = 9, 16, 2, 3
+    a = rng.randn(F, 2, C) + 1j * rng.randn(F, 2, C)
+    spat = a[..., :, None] * a[..., None, :].conj()
+    spec = (np.abs(rng.randn(F, 2)) + 0.1) * np.logspace(-12, 6, F)[:, None]
+    act = np.abs(rng.randn(2, T)) + 0.1
+    act[:, : T // 3] = 1e-14  # leading digital near-silence
+    X = np.einsum("fncd,fn,nt->ftcd", spat, spec, act).astype(np.complex64)
+
+    np.random.seed(111)
+    model = MultichannelISNMF(n_basis=K)
+    kwargs = model.prepare_state_kwargs(X, {})
+    kwargs = {
+        k: np.asarray(v, dtype=np.complex64 if np.iscomplexobj(v) else np.float32)
+        for k, v in kwargs.items()
+    }
+    H, Tb, V = model(X, iteration=10, **kwargs)
+    losses = np.asarray(model.loss)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    for arr in (H, Tb, V):
+        assert np.all(np.isfinite(np.asarray(arr)))
+
+
 def test_eucntf(rng):
     C, F, T, K = 3, 17, 20, 3
     Z = np.abs(rng.randn(C, K)) + 0.1
