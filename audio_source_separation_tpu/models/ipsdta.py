@@ -41,6 +41,7 @@ import numpy as np
 from ..algorithm.projection_back import projection_back
 from ..ops.blocks import BlockLayout
 from ..ops.fast_linalg import (
+    add_diag_planes,
     batched_eigvalsh,
     batched_inv,
     batched_log_abs_det,
@@ -1009,16 +1010,53 @@ class GaussIPSDTA(IPSDTABase):
     # ------------------------------------------------------------------ #
     # spatial model — fixed point (Ikeshita, ``ipsdta.py:690-818``)
     # ------------------------------------------------------------------ #
-    def _update_spatial_fixed_point(self, state, layout):
+    def _fixed_point_G(self, state, layout):
+        """The fixed-point statistics
+        ``G[s, b, (j,c), (k,d)] = mean_t R̄⁻¹[s,t,b,j,k] X[t,b,j,c] X*[t,b,k,d]``
+        — the only frame-dimension work in the spatial update."""
         eps = self.eps
         X = state["input"]
-        W = state["demix_filter"]  # (F, N, C) = W_Hermite rows
         U = self._U_kmajor(state)
         V = state["activation"]
-        Lambda = state["fixed_point"]  # (S, F)
-        n_sources, n_channels = W.shape[1], W.shape[2]
+        n_sources, n_channels = V.shape[0], X.shape[0]
         n_frames = X.shape[-1]
         B = layout.block_size
+
+        if self.source_planes and B <= 3:
+            # planes dual: R̄⁻¹ entries and the blocked mixture stay
+            # fully-tiled (T, nb) planes; each G entry is one fused
+            # multiply + frame reduction
+            UP = jnp.transpose(U, (0, 1, 3, 4, 2))  # (S, K, B, B, nb)
+            invf = jnp.transpose(~layout.valid).astype(U.real.dtype)
+            padP = jnp.eye(B, dtype=U.dtype)[:, :, None] * invf[None]
+            XP, _, _ = self._vcd_data_planes(state, layout)  # (B, C, T, nb)
+            G_rows = []
+            for n in range(n_sources):
+                RP = jnp.einsum(
+                    "kijb,kt->ijtb", UP[n], V[n].astype(U.dtype)
+                )
+                RP = RP + padP[:, :, None, :]
+                RP, _ = _psd_parts_planes(RP, eps=eps)
+                RcInv = inv_planes(
+                    add_diag_planes(
+                        jnp.conj(RP), jnp.full(RP.shape[2:], eps)
+                    )
+                )  # (B, B, T, nb)
+                rows = [
+                    [
+                        jnp.einsum(
+                            "tb,tb->b",
+                            RcInv[j, k] * XP[j, c],
+                            XP[k, d].conj(),
+                        )
+                        for k in range(B)
+                        for d in range(n_channels)
+                    ]
+                    for j in range(B)
+                    for c in range(n_channels)
+                ]
+                G_rows.append(jnp.stack([jnp.stack(r, -1) for r in rows], -2))
+            return jnp.stack(G_rows) / n_frames  # (S, nb, BC, BC)
 
         R, _ = self._R_blocks_parts(U, V, layout)  # (S, T, nb, B, B)
         inv_Rc = batched_inv(R.conj() + eps * jnp.eye(B, dtype=R.dtype))
@@ -1027,13 +1065,22 @@ class GaussIPSDTA(IPSDTABase):
         Xb = layout.gather(jnp.moveaxis(Xt, -1, 0))  # (C, T, nb, B)
         Xb = jnp.transpose(Xb, (1, 2, 3, 0))  # (T, nb, B, C)
 
-        # G[s, b, (j,c), (k,d)] = mean_t inv_Rc[s,t,b,j,k] X[t,b,j,c] X*[t,b,k,d]
         G = jnp.einsum(
             "stbjk,tbjc,tbkd->sbjckd", inv_Rc, Xb, Xb.conj()
         ) / n_frames
-        G = G.reshape(
+        return G.reshape(
             n_sources, layout.n_blocks, B * n_channels, B * n_channels
         )
+
+    def _update_spatial_fixed_point(self, state, layout):
+        eps = self.eps
+        X = state["input"]
+        W = state["demix_filter"]  # (F, N, C) = W_Hermite rows
+        Lambda = state["fixed_point"]  # (S, F)
+        n_sources, n_channels = W.shape[1], W.shape[2]
+        B = layout.block_size
+
+        G = self._fixed_point_G(state, layout)  # (S, nb, BC, BC)
         # identity-pad invalid (j, c) slots so G stays invertible
         valid_jc = jnp.repeat(layout.valid, n_channels, axis=-1)  # (nb, B·C)
         pad = (~valid_jc).astype(G.real.dtype)

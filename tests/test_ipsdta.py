@@ -228,6 +228,26 @@ def test_source_planes_matches_matrix(rng, cls, kw):
         )
 
 
+def test_fixed_point_planes_matches_matrix(rng):
+    """The fixed-point spatial statistics G (the only frame-dimension work
+    in that update) match between the planes and matrix builders."""
+    solver, state = _vcd_state(
+        rng, GaussIPSDTA, n_bins=10, n_blocks=4, author="Ikeshita"
+    )
+    layout = solver._layout(10)
+    solver.source_planes = False
+    out_m = solver._update_spatial_fixed_point(state, layout)
+    solver.source_planes = True
+    out_p = solver._update_spatial_fixed_point(state, layout)
+    for key in ("demix_filter", "fixed_point", "estimation"):
+        np.testing.assert_allclose(
+            np.asarray(out_p[key]),
+            np.asarray(out_m[key]),
+            atol=1e-10,
+            rtol=1e-8,
+        )
+
+
 def test_source_planes_full_solver_parity(rng):
     """The source_planes toggle is output-invariant through the full jitted
     solver (3 iterations, remainder-block geometry)."""
