@@ -437,7 +437,15 @@ def main():
         "  multiplies NaN the EM after ~40 iterations (QUALITY.md sweep);",
         "  full-precision trace/Riccati contractions cost ~2× its bf16 rate",
         "  (1129 → 609 iters/s), the price of correctness at production",
-        "  iteration counts.",
+        "  iteration counts.  Round 4 barriers the X̂ reconstruction, its",
+        "  adjugate inverse and X̂⁻¹XX̂⁻¹ (each feeds 2-3 downstream",
+        "  contractions; the Ozerov E/M multi-consumer lever) — same",
+        "  semantics, measured on this run's row.",
+        "- **IPSDTA planes source/fixed-point steps** (round 4): the",
+        "  (S, T, n_blocks, B, B) source chains and the fixed-point G",
+        "  statistics have planes-layout duals (`source_planes` toggle,",
+        "  bit-parity tested).  Enabled per class default only where the",
+        "  on-chip A/B wins; the rows above use the class defaults.",
     ]
     # per-stage attribution table (benchmarks/bench_stages.py artifact)
     stages_path = os.path.join(
@@ -448,7 +456,7 @@ def main():
             stage_rows = json.load(f)["rows"]
         lines += [
             "",
-            "## Per-stage attribution (FastMNMF / Ozerov EM)",
+            "## Per-stage attribution (FastMNMF / Ozerov EM / Sawada / IPSDTA)",
             "",
             "Each stage timed as its own jitted scan (same differencing;",
             "`bench_stages.py`); stages overlap where the algorithm rebuilds",
