@@ -553,6 +553,18 @@ def main():
         "  default bf16 matmul precision NaN'ing the IPSDTA block chains and the",
         "  batched-LU inverse kernel faulting on the Sawada (F,T,C,C) batches (both",
         "  fixed — see models/ipsdta.py, ops/fast_linalg.py).",
+        "- FLOAT32 REAL-MUSIC ROBUSTNESS (round 4): every solver family was",
+        "  additionally driven on the bundled sample-song mixture at complex64",
+        "  (the TPU numeric regime; ~24 decades of covariance dynamic range,",
+        "  leading silence): AuxIVA IP/ISS/IP2, AuxGaussIVA, GaussILRMA(+IP2),",
+        "  tILRMA nu=1, ConsistentILRMA, FastMNMF, Sawada MNMF, Prox,",
+        "  NatGrad FDICA/IVA, Kondo IPSDTA, tIPSDTA nu=1 and CovarianceISNMF",
+        "  all finite with monotone loss.  CovarianceISNMF needed per-bin",
+        "  equilibration + a scale-invariant spectral power to get there",
+        "  (models/nmf.py, algorithm/linalg.py — round-4 fixes).  Known f32",
+        "  music-signal exceptions, matrix/planes-identical and documented in",
+        "  CLAUDE.md: Ozerov EM drifts non-monotone; Ikeshita IPSDTA shows a",
+        "  transient loss spike then recovers.",
     ]
     if args.only:
         print("--only smoke run: QUALITY.md not written")
