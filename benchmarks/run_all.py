@@ -520,6 +520,45 @@ def main():
             "Data-parallel throughput (batched AuxIVA-IP, vmapped scan,",
             "{}): **{:.0f} mixtures/s** at batch 16.".format(dp_config, dp_rate),
         ]
+    # round-4 barrier / planes-layout A/B (benchmarks/planes_ab.py artifact)
+    planes_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PLANES_AB.json"
+    )
+    if os.path.exists(planes_path):
+        with open(planes_path) as f:
+            planes_rows = [
+                r for r in json.load(f)["rows"] if "iters_per_sec" in r
+            ]
+        by_solver = {}
+        for r in planes_rows:
+            by_solver.setdefault(r["solver"], {})[r["mode"]] = r["iters_per_sec"]
+        pairs = [
+            (name, modes[a], modes[b], a, b)
+            for name, modes in by_solver.items()
+            for a, b in (("barrier", "no barrier"), ("planes", "matrix"))
+            if a in modes and b in modes
+        ]
+        if pairs:
+            lines += [
+                "",
+                "## Barrier / planes-layout A/B (round 4)",
+                "",
+                "Same solver, same config (`planes_ab.py`, differenced",
+                "methodology).  `barrier` = multi-consumer intermediates",
+                "materialized behind `lax.optimization_barrier` (Sawada X̂",
+                "chain); `planes` = planes-layout IPSDTA source/fixed-point",
+                "steps (`source_planes`) vs the matrix-layout path.",
+                "",
+                "| Solver | on iters/s | off iters/s | on/off |",
+                "|---|---|---|---|",
+            ]
+            for name, on, off, a, b in pairs:
+                lines.append(
+                    "| {} ({} vs {}) | {:.0f} | {:.0f} | {:.2f}x |".format(
+                        name, a, b, on, off, on / off
+                    )
+                )
+
     # power-only vs complex-restore scan A/B (benchmarks/power_ab.py artifact)
     power_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "POWER_AB.json"
