@@ -22,7 +22,7 @@ import numpy as np
 
 from ..algorithm.projection_back import projection_back
 from ..ops.packing import jit_complex, realify, to_host
-from ..ops.covariance import pair_products, weighted_covariance
+from ..ops.covariance import weighted_covariance
 from ..ops.eig2 import generalized_eig2x2_descending
 from ..ops.fast_linalg import batched_log_abs_det
 from ..ops.ip import cond_guard, ip_update

@@ -48,7 +48,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..algorithm.linalg import solve_riccati
-from ..criterion.divergence import logdet_divergence
 from ..ops.ip import cond_guard
 from ..ops.fast_linalg import (
     f32_matmuls,
@@ -62,7 +61,6 @@ from ..ops.fast_linalg import (
 from ..ops.ip_components import _plane_index, pair_products_planes
 from ..runtime.solver import IterativeSolver
 from ..utils.flooring import floor_below
-from ..utils.linalg import to_psd
 
 EPS = 1e-12
 THRESHOLD = 1e12

@@ -26,7 +26,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 import numpy as np
 
 from ..ops.covariance import (
-    pair_products,
     weighted_covariance,
     weighted_covariance_from_pairs,
 )
