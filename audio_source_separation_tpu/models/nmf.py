@@ -419,6 +419,20 @@ class MultichannelISNMF(IterativeSolver):
     record_initial_loss = False
     invariant_fields = ("target_planes", "bin_scale")
 
+    def field_axes(self):
+        """Shardable axes (see :meth:`IterativeSolver.use_mesh`): per-bin
+        updates are independent in bins mode (GSPMD all-reduces the
+        activation's cross-bin contraction); in frames mode the basis/
+        spatial frame contractions become psums."""
+        return {
+            "input": {"bins": 0, "frames": 1},  # target (F, T, C, C)
+            "target_planes": {"bins": 2, "frames": 3},  # (C, C, F, T)
+            "bin_scale": {"bins": 0},  # (F,)
+            "spatial": {"bins": 0},  # (F, K, C, C)
+            "basis": {"bins": 0},  # (F, K)
+            "activation": {"frames": 1},  # (K, T)
+        }
+
     def __init__(self, n_basis=10, normalize=True, eps=EPS):
         super().__init__(callbacks=None, recordable_loss=True, eps=eps)
         self.n_basis = n_basis

@@ -339,6 +339,40 @@ def test_ipsdta_bins_misaligned_blocks_raise(rng):
         solver(X, iteration=1)
 
 
+@pytest.mark.parametrize("mode,n_dev", [("bins", 4), ("frames", 4)])
+def test_covariance_isnmf_sharded_matches_single(rng, mode, n_dev):
+    """The covariance-domain factorizer (4-D target (F, T, C, C)) under the
+    mesh: bins-mode shards the bin axis (activation contraction all-reduces),
+    frames-mode shards frames (basis/spatial psums + the init-time bin-scale
+    mean)."""
+    from audio_source_separation_tpu.models import CovarianceISNMF
+
+    F, T, C = 24, 16, 2
+    X = _canonical_mixture(rng, n_channels=C, n_bins=F, n_frames=T)
+    target = np.einsum("cft,dft->ftcd", X, X.conj())
+
+    np.random.seed(111)
+    single = CovarianceISNMF(n_basis=3)
+    out_single = single(target, iteration=5)
+
+    np.random.seed(111)
+    sharded = CovarianceISNMF(n_basis=3)
+    sharded.use_mesh(_mesh_1d(n_dev), mode=mode)
+    out_sharded = sharded(target, iteration=5)
+
+    # frames mode reassociates the init-time bin-scale frame mean across
+    # shards: the equilibration scale differs at fp-rounding level, which
+    # the loss's logdet(X) term amplifies to a constant ~1e-7-relative
+    # offset (iterates track to the same tolerance)
+    np.testing.assert_allclose(
+        np.asarray(sharded.loss), np.asarray(single.loss), rtol=1e-6
+    )
+    for a, b in zip(out_sharded, out_single):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7, rtol=1e-6
+        )
+
+
 def _freq_mixing_mlp(rng, n_bins):
     """Tiny jittable frequency-mixing MLP variance model (stands in for the
     reference's trained DNN, ``sss/idlma.py:212-225``)."""
