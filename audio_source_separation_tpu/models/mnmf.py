@@ -96,7 +96,7 @@ class MultichannelISNMF(MultichannelNMFBase):
         "mix_filter",
         "noise_covariance",
     )
-    invariant_fields = ("input", "covariance_planes")
+    invariant_fields = ("input", "covariance_planes", "second_moment")
 
     def __init__(
         self,
@@ -168,6 +168,7 @@ class MultichannelISNMF(MultichannelNMFBase):
             common,
             mix_filter={"bins": 0},
             noise_covariance={"bins": 0},
+            second_moment={"bins": 0},
             basis={"bins": 1},
             activation={"frames": -1},
         )
@@ -240,6 +241,22 @@ class MultichannelISNMF(MultichannelNMFBase):
             # (a materialized (F, T, C, C) array pads its C=2 minors to the
             # 8×128 tile: ~256× the payload in HBM traffic per read)
             state["covariance_planes"] = pair_products_planes(X)
+        else:
+            # R_xx = mean_t x x^H (``mnmf.py:357``) is a pure function of the
+            # mixture — hoisted out of the EM scan as an invariant field
+            # (it was C² full-plane products + frame means per iteration,
+            # ~60 MB/iteration of op-level traffic for the C=2 canonical
+            # config, all recomputing the same (F, C, C) constant)
+            state["second_moment"] = jnp.stack(
+                [
+                    jnp.stack(
+                        [(X[c] * X[d].conj()).mean(axis=-1) for d in range(n_channels)],
+                        -1,
+                    )
+                    for c in range(n_channels)
+                ],
+                -2,
+            )  # (F, C, C)
         return state
 
     # ------------------------------------------------------------------ #
@@ -611,47 +628,41 @@ class MultichannelISNMF(MultichannelNMFBase):
                 M2[r][s] = off[k].conj()
                 k += 1
         sA = sigma_s.astype(A.dtype)
-        s_post = v * sA  # (S, F, T): σ_s·(A^H Σx⁻¹ x)_s
+        # σ_s·(A^H Σx⁻¹ x)_s — an operand of BOTH sufficient-statistic
+        # contractions below; barriered so neither re-expands the v·σ
+        # product chain (the round-4 multi-consumer lever)
+        s_post = jax.lax.optimization_barrier(v * sA)  # (S, F, T)
+        n_frames = X.shape[-1]
 
         def mean_t(plane):
             return plane.mean(axis=-1)  # (F,)
 
-        # sufficient statistics (small (F, ·, ·) outputs from plane reductions)
-        R_xx = jnp.stack(
-            [
-                jnp.stack([mean_t(X[c] * X[d].conj()) for d in range(C)], -1)
-                for c in range(C)
-            ],
-            -2,
-        )  # (F, C, C)
-        R_xs = jnp.stack(
-            [
-                jnp.stack(
-                    [mean_t(X[c] * s_post[s].conj()) for s in range(S)], -1
-                )
-                for c in range(C)
-            ],
-            -2,
-        )  # (F, C, S)
+        # sufficient statistics (small (F, ·, ·) outputs).  R_xx is the
+        # hoisted invariant (see ``init_state``); R_xs and the s-posterior
+        # outer product are single batched ``t``-contractions (one dot each,
+        # reading X/s_post exactly once) instead of C·S / S² per-entry plane
+        # fusions that re-read their operands per output entry
+        R_xx = state["second_moment"]  # (F, C, C)
+        R_xs = jnp.einsum("cft,sft->fcs", X, s_post.conj()) / n_frames
         # R_ss[s, r] = mean_t [ s_s s̄_r + (δ_sr − (GA)[s, r]) σ_r ] with
-        # GA[s, r] = σ_s·M2[s, r]
-        R_ss = jnp.stack(
-            [
-                jnp.stack(
-                    [
-                        mean_t(
-                            s_post[s] * s_post[r].conj()
-                            + ((1.0 if s == r else 0.0) - sA[s] * M2[s][r])
-                            * sA[r]
-                        )
-                        for r in range(S)
-                    ],
-                    -1,
-                )
-                for s in range(S)
-            ],
+        # GA[s, r] = σ_s·M2[s, r]; the correction is Hermitian, so only the
+        # upper triangle is computed (σ products in real arithmetic) and the
+        # lower is its exact conjugate
+        outer = jnp.einsum("sft,rft->fsr", s_post, s_post.conj()) / n_frames
+        corr = [[None] * S for _ in range(S)]
+        for s in range(S):
+            corr[s][s] = mean_t(sigma_s[s] ** 2 * diag[s]).astype(v.dtype)
+            for r in range(s + 1, S):
+                c_sr = mean_t((sigma_s[s] * sigma_s[r]) * M2[s][r])
+                corr[s][r] = c_sr
+                corr[r][s] = c_sr.conj()
+        corr = jnp.stack(
+            [jnp.stack([corr[s][r] for r in range(S)], -1) for s in range(S)],
             -2,
         )  # (F, S, S)
+        mean_sigma = sigma_s.mean(axis=-1)  # (S, F) real — the δ_sr·σ_r term
+        delta = jnp.eye(S, dtype=v.dtype) * mean_sigma.T[:, None, :].astype(v.dtype)
+        R_ss = outer + delta - corr  # (F, S, S)
         R_ss = (R_ss + jnp.swapaxes(R_ss, -2, -1).conj()) / 2
 
         # component posteriors (diagonals only, ``mnmf.py:332-355``):
