@@ -341,16 +341,13 @@ class MultichannelISNMF(MultichannelNMFBase):
         )
 
         def traces(P):
-            return jnp.stack(
-                [
-                    sum(
-                        (P[c, d] * H[:, s, d, c][:, None]).real
-                        for c in range(C)
-                        for d in range(C)
-                    )
-                    for s in range(n_sources)
-                ],
-                axis=1,
+            # ONE broadcast accumulation producing (F, S, T) — each P plane
+            # is read exactly once for ALL sources (the per-source stack
+            # re-read every plane S-fold)
+            return sum(
+                (P[c, d][:, None, :] * H[:, :, d, c][:, :, None]).real
+                for c in range(C)
+                for d in range(C)
             )  # (F, S, T)
 
         return traces(XXX), traces(inv)
@@ -400,25 +397,9 @@ class MultichannelISNMF(MultichannelNMFBase):
         ZTV = self._ztv(state).astype(H.dtype)
 
         def contract_t(P):
-            return jnp.stack(
-                [
-                    jnp.stack(
-                        [
-                            jnp.stack(
-                                [
-                                    (ZTV[s] * P[c, d]).sum(axis=-1)
-                                    for d in range(C)
-                                ],
-                                axis=-1,
-                            )
-                            for c in range(C)
-                        ],
-                        axis=-2,
-                    )
-                    for s in range(n_sources)
-                ],
-                axis=1,
-            )  # (F, S, C, C)
+            # single batched t-contraction (reads ZTV and the P planes
+            # exactly once) instead of S·C² per-entry plane reductions
+            return jnp.einsum("sft,cdft->fscd", ZTV, P)  # (F, S, C, C)
 
         A = contract_t(inv)
         ZTVXXX = contract_t(XXX)
