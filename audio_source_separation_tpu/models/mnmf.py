@@ -331,26 +331,34 @@ class MultichannelISNMF(MultichannelNMFBase):
         all in planes layout; returns ``(F, S, T)`` reals."""
         H = state["spatial"]
         C = self.n_channels
-        n_sources = H.shape[1]
         inv = self._inv_xhat_planes(state)
-        # X̂⁻¹XX̂⁻¹ is read once per source by the trace below — barrier so
-        # the two plane matmuls aren't re-expanded per consumer (see
-        # ``_inv_xhat_planes``)
-        XXX = jax.lax.optimization_barrier(
-            matmul_planes(matmul_planes(inv, self._cov_planes_complex(state)), inv)
-        )
+        Xc = self._cov_planes_complex(state)
 
-        def traces(P):
-            # ONE broadcast accumulation producing (F, S, T) — each P plane
-            # is read exactly once for ALL sources (the per-source stack
-            # re-read every plane S-fold)
+        # X̂⁻¹XX̂⁻¹ is consumed exactly ONCE here (by the tn accumulation
+        # below), so its entries stay LAZY quadratic forms — one fusion
+        # computes tn reading each inv/X plane once from HBM, and the
+        # (C, C, F, T) product tensor (a tmp + a barriered result per chain,
+        # ~120 MB/iteration over the three MU chains) never materializes.
+        # The spatial update keeps its own barriered product (its consumer
+        # is a dot, whose operands materialize regardless).
+        def xxx_entry(c, d):
             return sum(
-                (P[c, d][:, None, :] * H[:, :, d, c][:, :, None]).real
+                inv[c, a] * Xc[a, b] * inv[b, d]
+                for a in range(C)
+                for b in range(C)
+            )
+
+        def traces(entry):
+            # ONE broadcast accumulation producing (F, S, T) — each input
+            # plane is read exactly once for ALL sources (the per-source
+            # stack re-read every plane S-fold)
+            return sum(
+                (entry(c, d)[:, None, :] * H[:, :, d, c][:, :, None]).real
                 for c in range(C)
                 for d in range(C)
             )  # (F, S, T)
 
-        return traces(XXX), traces(inv)
+        return traces(xxx_entry), traces(lambda c, d: inv[c, d])
 
     def _update_sawada_basis(self, state):
         """Basis MU (``mnmf.py:377-398``)."""
