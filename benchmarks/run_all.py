@@ -429,6 +429,12 @@ def main():
         "  (S, S) normal solve uses the adjugate closed form instead of a",
         "  batched LU.  The E step alone runs ~10.7k iters/s (table below),",
         "  so the EM is now M-step/consumer-bound, not posterior-bound.",
+        "  Late round 4 cuts the M step further: R_xx = mean_t(x x^H) is",
+        "  hoisted out of the scan as an invariant (it is a pure function of",
+        "  the mixture), R_xs and the s-posterior outer product are single",
+        "  batched t-contraction einsums (operands read exactly once), and",
+        "  the R_ss correction computes only its Hermitian upper triangle —",
+        "  compiled body cost 680.7 → 411.9 MB/iteration (XLA cost_analysis).",
         "- **OverAuxIVA**: no separate row — its overdetermined path is PCA",
         "  (one host-jit call) + the AuxIVA-IP scan on the reduced channels",
         "  (`models/iva.py:682-712`), so its per-iteration rate IS the",
