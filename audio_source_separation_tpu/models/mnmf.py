@@ -54,9 +54,13 @@ from ..ops.fast_linalg import (
     add_diag_planes,
     batched_det,
     batched_inv,
+    compact_entry,
+    expand_hermitian_compact,
+    expand_hermitian_compact_trailing,
+    inv_hermitian_compact,
     inv_planes,
-    matmul_planes,
     psd_parts_planes,
+    sandwich_hermitian_compact,
 )
 from ..ops.ip_components import _plane_index, pair_products_planes
 from ..runtime.solver import IterativeSolver
@@ -287,78 +291,92 @@ class MultichannelISNMF(MultichannelNMFBase):
             [jnp.stack([entry(c, d) for d in range(C)]) for c in range(C)]
         )
 
-    def _xhat_planes(self, state):
-        """``X̂ = Σ_s H_s ZTV_s`` as planes ``(C, C, F, T)``
-        (``mnmf.py:216-217`` reconstruction)."""
-        H = state["spatial"]  # (F, S, C, C)
-        ZTV = self._ztv(state).astype(H.dtype)  # (S, F, T)
-        C = self.n_channels
-        n_sources = H.shape[1]
-        return jnp.stack(
+    def _xhat_compact(self, state):
+        """``X̂ = Σ_s H_s ZTV_s`` (``mnmf.py:216-217`` reconstruction) as
+        COMPACT Hermitian planes ``(C², F, T)`` real — H is Hermitian per
+        (bin, source) and ZTV real, so each compact plane is one real
+        S-contraction; half the HBM traffic of complex ``(C, C, F, T)``
+        planes.  Barriered: X̂ is read C²-fold by the adjugate minors (the
+        Ozerov E/M multi-consumer lever, CLAUDE.md round 4)."""
+        H = state["spatial"]  # (F, S, C, C) complex Hermitian
+        ZTV = self._ztv(state)  # (S, F, T) real
+        _, order = _plane_index(self.n_channels)
+        coeffs = jnp.stack(
             [
-                jnp.stack(
-                    [
-                        sum(
-                            H[:, s, c, d][:, None] * ZTV[s]
-                            for s in range(n_sources)
-                        )
-                        for d in range(C)
-                    ]
-                )
-                for c in range(C)
+                H[:, :, c, d].real if kind == "re" else H[:, :, c, d].imag
+                for kind, c, d in order
             ]
+        )  # (C², F, S) real
+        ZTV = ZTV.astype(coeffs.dtype)
+        n_sources = H.shape[1]
+        # unrolled S-sum (one elementwise fusion) — the einsum dot forced
+        # (F, T)-batched layout copies of ZTV and the result
+        planes = sum(
+            coeffs[:, :, s][:, :, None] * ZTV[s][None] for s in range(n_sources)
         )
+        return jax.lax.optimization_barrier(planes)
 
-    def _inv_xhat_planes(self, state, Xh=None):
-        """Adjugate inverse of ``X̂ + eps·I`` in planes layout (TPU's batched
-        LU kernel can fault on hard (F, T, C, C) batches — observed on
-        hardware).
-
-        Both the reconstruction and its inverse sit behind optimization
-        barriers (the Ozerov E/M lever, CLAUDE.md round 4): ``X̂`` is read
-        C²-fold by the adjugate minors and ``X̂⁻¹`` feeds THREE downstream
-        contractions per call site (two plane matmuls building
-        ``X̂⁻¹XX̂⁻¹`` plus the trace/frame reduction) — without the
-        barriers XLA's fusion re-expands the S-sum reconstruction and the
-        minor chain into every consumer."""
-        if Xh is None:
-            Xh = jax.lax.optimization_barrier(self._xhat_planes(state))
-        inv = inv_planes(add_diag_planes(Xh, jnp.full(Xh.shape[2:], self.eps)))
+    def _inv_xhat_compact(self, state, xh=None):
+        """Compact Hermitian planes of ``(X̂ + eps·I)⁻¹`` (adjugate closed
+        form over the REAL Hermitian determinant — TPU's batched LU kernel
+        can fault on hard (F, T, C, C) batches, observed on hardware).
+        Barriered: X̂⁻¹ feeds the trace/frame reductions AND the
+        ``X̂⁻¹XX̂⁻¹`` sandwich — without the barrier XLA's fusion
+        re-expands the minor chain into every consumer."""
+        if xh is None:
+            xh = self._xhat_compact(state)
+        inv = inv_hermitian_compact(xh, ridge=self.eps)
         return jax.lax.optimization_barrier(inv)
+
+    def _xhat_planes(self, state):
+        """Complex planes ``(C, C, F, T)`` view of the reconstruction (the
+        nll's PSD-projection path consumes full complex planes)."""
+        return expand_hermitian_compact(self._xhat_compact(state))
 
     def _trace_terms(self, state):
         """``tr(X̂⁻¹XX̂⁻¹ H)`` and ``tr(X̂⁻¹ H)`` per (bin, source, frame) —
-        all in planes layout; returns ``(F, S, T)`` reals."""
+        all on compact Hermitian planes; returns ``(F, S, T)`` reals."""
         H = state["spatial"]
         C = self.n_channels
-        inv = self._inv_xhat_planes(state)
-        Xc = self._cov_planes_complex(state)
+        inv = self._inv_xhat_compact(state)
+        cov = state["covariance_planes"]  # compact (C², F, T)
 
         # X̂⁻¹XX̂⁻¹ is consumed exactly ONCE here (by the tn accumulation
         # below), so its entries stay LAZY quadratic forms — one fusion
-        # computes tn reading each inv/X plane once from HBM, and the
-        # (C, C, F, T) product tensor (a tmp + a barriered result per chain,
-        # ~120 MB/iteration over the three MU chains) never materializes.
-        # The spatial update keeps its own barriered product (its consumer
+        # computes tn AND td reading each compact inv/X plane once from
+        # HBM, and the (C, C, F, T) product tensor never materializes.
+        # The spatial update keeps its own barriered sandwich (its consumer
         # is a dot, whose operands materialize regardless).
         def xxx_entry(c, d):
             return sum(
-                inv[c, a] * Xc[a, b] * inv[b, d]
+                compact_entry(inv, c, a)
+                * compact_entry(cov, a, b)
+                * compact_entry(inv, b, d)
                 for a in range(C)
                 for b in range(C)
             )
 
         def traces(entry):
             # ONE broadcast accumulation producing (F, S, T) — each input
-            # plane is read exactly once for ALL sources (the per-source
-            # stack re-read every plane S-fold)
-            return sum(
-                (entry(c, d)[:, None, :] * H[:, :, d, c][:, :, None]).real
+            # plane is read exactly once for ALL sources.  Both operands are
+            # Hermitian, so ``Σ_{c,d} A[c,d]·H[d,c]`` reduces to the diagonal
+            # products plus ``2·(Re·Re + Im·Im)`` per off-diagonal pair.
+            acc = sum(
+                entry(c, c).real[:, None, :] * H[:, :, c, c].real[:, :, None]
                 for c in range(C)
-                for d in range(C)
-            )  # (F, S, T)
+            )
+            for c in range(C):
+                for d in range(c + 1, C):
+                    e = entry(c, d)
+                    acc = acc + 2.0 * (
+                        e.real[:, None, :] * H[:, :, c, d].real[:, :, None]
+                        + e.imag[:, None, :] * H[:, :, c, d].imag[:, :, None]
+                    )
+            return acc  # (F, S, T)
 
-        return traces(xxx_entry), traces(lambda c, d: inv[c, d])
+        return traces(xxx_entry), traces(
+            lambda c, d: compact_entry(inv, c, d)
+        )
 
     def _update_sawada_basis(self, state):
         """Basis MU (``mnmf.py:377-398``)."""
@@ -397,17 +415,23 @@ class MultichannelISNMF(MultichannelNMFBase):
         # results
         H = state["spatial"]
         C = self.n_channels
-        n_sources = H.shape[1]
-        inv = self._inv_xhat_planes(state)
+        inv = self._inv_xhat_compact(state)
         XXX = jax.lax.optimization_barrier(
-            matmul_planes(matmul_planes(inv, self._cov_planes_complex(state)), inv)
+            sandwich_hermitian_compact(inv, state["covariance_planes"])
         )
-        ZTV = self._ztv(state).astype(H.dtype)
+        ZTV = self._ztv(state)  # (S, F, T) real
 
-        def contract_t(P):
-            # single batched t-contraction (reads ZTV and the P planes
-            # exactly once) instead of S·C² per-entry plane reductions
-            return jnp.einsum("sft,cdft->fscd", ZTV, P)  # (F, S, C, C)
+        def contract_t(planes):
+            # single batched REAL t-contraction over the compact planes
+            # (reads ZTV and each plane exactly once — half the bytes of the
+            # complex-planes einsum), then a tiny trailing expansion to the
+            # complex (F, S, C, C) the Riccati solve consumes
+            small = jnp.transpose(
+                (ZTV.astype(planes.dtype)[:, None] * planes[None]).sum(-1),
+                (2, 0, 1),
+            )  # (F, S, C²) real — mul+reduce fuses; the einsum dot forced
+            # (F, T)-batched layout copies of both operands
+            return expand_hermitian_compact_trailing(small, C)
 
         A = contract_t(inv)
         ZTVXXX = contract_t(XXX)
@@ -454,8 +478,11 @@ class MultichannelISNMF(MultichannelNMFBase):
         H = state["spatial"]  # (F, S, C, C)
         C = self.n_channels
         n_sources = H.shape[1]
-        inv = self._inv_xhat_planes(state)
-        v = [sum(inv[c, d] * X[d] for d in range(C)) for c in range(C)]  # X̂⁻¹x
+        inv = self._inv_xhat_compact(state)
+        v = [
+            sum(compact_entry(inv, c, d) * X[d] for d in range(C))
+            for c in range(C)
+        ]  # X̂⁻¹x
         # row `reference_id` of H[f,s] @ v[f,t]
         Href = H[:, :, self.reference_id, :]  # (F, S, C)
         HXx = jnp.stack(

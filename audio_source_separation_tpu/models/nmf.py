@@ -33,12 +33,17 @@ import numpy as np
 from ..algorithm.linalg import solve_riccati
 from ..ops.fast_linalg import (
     add_diag_planes,
+    expand_hermitian_compact,
+    expand_hermitian_compact_trailing,
     herm_planes,
     hermitian_eigvalsh_planes,
+    inv_hermitian_compact,
     inv_planes,
     matmul_planes,
+    sandwich_hermitian_compact,
     trace_planes,
 )
+from ..ops.ip_components import _plane_index
 from ..criterion.divergence import generalized_kl_divergence, is_divergence
 from ..runtime.solver import IterativeSolver
 
@@ -426,7 +431,7 @@ class MultichannelISNMF(IterativeSolver):
         spatial frame contractions become psums."""
         return {
             "input": {"bins": 0, "frames": 1},  # target (F, T, C, C)
-            "target_planes": {"bins": 2, "frames": 3},  # (C, C, F, T)
+            "target_planes": {"bins": 1, "frames": 2},  # (C², F, T) compact
             "bin_scale": {"bins": 0},  # (F,)
             "spatial": {"bins": 0},  # (F, K, C, C)
             "basis": {"bins": 0},  # (F, K)
@@ -457,12 +462,19 @@ class MultichannelISNMF(IterativeSolver):
         # ~256x the payload's HBM traffic; all per-iteration statistics below
         # are unrolled full-tile plane passes instead
         C = target.shape[-1]
+        # COMPACT Hermitian storage (C² real planes — diagonals first, then
+        # (re, im) per off-diagonal c < d): half the HBM traffic of complex
+        # (C, C, F, T) planes.  Reads the upper triangle only — the observed
+        # covariance is Hermitian by construction (x x^H); a non-Hermitian
+        # target's lower triangle is ignored (documented divergence from the
+        # reference, which consumed the full tensor).
+        _, order = _plane_index(C)
         target_planes = jnp.stack(
             [
-                jnp.stack([target[..., c, d] for d in range(C)])
-                for c in range(C)
+                target[..., c, d].real if kind == "re" else target[..., c, d].imag
+                for kind, c, d in order
             ]
-        )  # (C, C, F, T)
+        )  # (C², F, T) real
         # per-bin power equilibration: real spectrogram covariances span
         # ~24 decades across bins, and the adjugate/Riccati chains overflow
         # float32 on the extremes.  The MU trace ratios, the Riccati solution
@@ -471,9 +483,9 @@ class MultichannelISNMF(IterativeSolver):
         # from absolute to bin-relative — a documented divergence from
         # ``nmf.py:678-815``'s float64 regime); :meth:`finalize` restores
         # ``T·s``, so the public fixture is unchanged.
-        scale = trace_planes(target_planes).mean(axis=-1) / C  # (F,)
+        scale = target_planes[:C].sum(axis=0).mean(axis=-1) / C  # (F,) trace mean
         scale = jnp.maximum(scale, jnp.finfo(scale.dtype).tiny)
-        target_planes = target_planes / scale[:, None].astype(target_planes.dtype)
+        target_planes = target_planes / scale[:, None]
         return {
             "target_planes": target_planes,
             "bin_scale": scale,
@@ -482,104 +494,103 @@ class MultichannelISNMF(IterativeSolver):
             "activation": activation,
         }
 
-    def _xhat_planes(self, state):
-        """``X̂ = Σ_k H_k T_k V_k`` as planes ``(C, C, F, T)``."""
-        H, T, V = state["spatial"], state["basis"], state["activation"]
-        C = H.shape[-1]
-        K = H.shape[1]
-        TV = (T[:, :, None] * V[None, :, :]).astype(H.dtype)  # (F, K, T)
+    def _spatial_coeffs(self, state):
+        """Compact-plane coefficients of the (Hermitian) spatial templates:
+        ``(C², F, K)`` real."""
+        H = state["spatial"]  # (F, K, C, C)
+        _, order = _plane_index(H.shape[-1])
         return jnp.stack(
             [
-                jnp.stack(
-                    [
-                        sum(H[:, k, c, d][:, None] * TV[:, k] for k in range(K))
-                        for d in range(C)
-                    ]
-                )
-                for c in range(C)
+                H[:, :, c, d].real if kind == "re" else H[:, :, c, d].imag
+                for kind, c, d in order
             ]
         )
 
-    def _inv_xhat_planes(self, state):
-        # barriers as in MultichannelISNMF._inv_xhat_planes: X̂ is read
-        # C²-fold by the adjugate minors and X̂⁻¹ feeds three contractions
+    def _pair_weights(self, C, dtype):
+        """``tr(A·B) = Σ_p w_p A_p B_p`` for compact Hermitian A, B:
+        diagonal planes weigh 1, each off-diagonal (re, im) plane weighs 2."""
+        return jnp.concatenate(
+            [jnp.ones((C,), dtype), 2.0 * jnp.ones((C * C - C,), dtype)]
+        )
+
+    def _xhat_compact(self, state):
+        """``X̂ = Σ_k H_k T_k V_k`` as COMPACT Hermitian planes ``(C², F, T)``
+        real: the per-plane H-coefficients fold into T (tiny ``(C², F, K)``),
+        then ONE real GEMM over k — the complex ``(F, K, T)``
+        basis-activation product the stacked path materialized (~77 MB at
+        the canonical config, three times per iteration) never exists.
+        Barriered: read C²-fold by the adjugate minors."""
+        T, V = state["basis"], state["activation"]
+        coeffs = self._spatial_coeffs(state)  # (C², F, K)
+        TH = coeffs * T[None].astype(coeffs.dtype)
+        planes = jnp.einsum("pfk,kt->pft", TH, V.astype(coeffs.dtype))
+        return jax.lax.optimization_barrier(planes)
+
+    def _xhat_planes(self, state):
+        """Complex planes ``(C, C, F, T)`` view (the nll consumes these)."""
+        return expand_hermitian_compact(self._xhat_compact(state))
+
+    def _inv_xhat_compact(self, state):
+        # barriers as in MultichannelISNMF._inv_xhat_compact: X̂ is read
+        # C²-fold by the adjugate minors and X̂⁻¹ feeds several contractions
         # per call site — without them XLA re-expands the K-sum
         # reconstruction into every consumer
-        Xh = jax.lax.optimization_barrier(self._xhat_planes(state))
-        inv = inv_planes(add_diag_planes(Xh, jnp.full(Xh.shape[2:], self.eps)))
+        xh = self._xhat_compact(state)
+        inv = inv_hermitian_compact(xh, ridge=self.eps)
         return jax.lax.optimization_barrier(inv)
 
-    def _trace_planes_stats(self, state):
-        """``tr(X̂⁻¹XX̂⁻¹ H_k)`` and ``tr(X̂⁻¹ H_k)`` as per-basis planes
-        ``(K, F, T)`` reals."""
-        H = state["spatial"]
-        C, K = H.shape[-1], H.shape[1]
-        inv = self._inv_xhat_planes(state)
+    def _mu_operands(self, state):
+        """``X̂⁻¹`` and ``X̂⁻¹XX̂⁻¹`` as compact Hermitian planes (both
+        barriered — each feeds a GEMM, whose operands materialize)."""
+        inv = self._inv_xhat_compact(state)
         XXX = jax.lax.optimization_barrier(
-            matmul_planes(matmul_planes(inv, state["target_planes"]), inv)
+            sandwich_hermitian_compact(inv, state["target_planes"])
         )
-
-        def traces(P):
-            return [
-                sum(
-                    (P[c, d] * H[:, k, d, c][:, None]).real
-                    for c in range(C)
-                    for d in range(C)
-                )
-                for k in range(K)
-            ]
-
-        return traces(XXX), traces(inv)
+        return inv, XXX
 
     def update_state(self, state):
+        # The MU trace ratios ``tr(X̂⁻¹XX̂⁻¹ H_k) / tr(X̂⁻¹ H_k)`` contract
+        # per-basis against V (basis stage) or T (activation stage).  Both
+        # operands of every trace are Hermitian, so each trace is a
+        # pair-weighted dot over compact planes — and the basis/frame
+        # contractions reassociate into plane-level GEMMs
+        # (``Σ_t P_p[f,t]·V[k,t]`` / ``Σ_{p,f} wc[p,f,k]·P_p[f,t]``) that
+        # read each plane ONCE; the per-basis (K, F, T) trace tensors the
+        # stacked path materialized (~77 MB each, four per iteration) never
+        # exist.
         eps = self.eps
-        n_channels = state["target_planes"].shape[0]
+        n_channels = state["spatial"].shape[-1]
         eye = jnp.eye(n_channels, dtype=state["spatial"].dtype)
 
         # --- basis ---
         H, T, V = state["spatial"], state["basis"], state["activation"]
-        K = H.shape[1]
-        tn, td = self._trace_planes_stats(state)
-        num = jnp.stack([(V[k][None] * tn[k]).sum(axis=-1) for k in range(K)], -1)
-        den = jnp.stack([(V[k][None] * td[k]).sum(axis=-1) for k in range(K)], -1)
+        w = self._pair_weights(n_channels, T.dtype)
+        inv, XXX = self._mu_operands(state)
+        wc = self._spatial_coeffs(state) * w[:, None, None]  # (C², F, K)
+        Vr = V.astype(T.dtype)
+        Mn = jnp.einsum("pft,kt->pfk", XXX, Vr)
+        Md = jnp.einsum("pft,kt->pfk", inv, Vr)
+        num = (wc * Mn).sum(axis=0)  # (F, K)
+        den = (wc * Md).sum(axis=0)
         T = T * jnp.sqrt(num / jnp.maximum(den, eps))
         state = dict(state, basis=T)
 
-        # --- activation ---
-        tn, td = self._trace_planes_stats(state)
-        num = jnp.stack([(T[:, k][:, None] * tn[k]).sum(axis=0) for k in range(K)])
-        den = jnp.stack([(T[:, k][:, None] * td[k]).sum(axis=0) for k in range(K)])
+        # --- activation (X̂ rebuilt with the NEW basis) ---
+        inv, XXX = self._mu_operands(state)
+        wct = wc * T[None].astype(wc.dtype)  # (C², F, K)
+        num = jnp.einsum("pfk,pft->kt", wct, XXX)
+        den = jnp.einsum("pfk,pft->kt", wct, inv)
         V = V * jnp.sqrt(num / jnp.maximum(den, eps))
         state = dict(state, activation=V)
 
-        # --- spatial (Riccati): frame contractions are per-entry plane
-        # reductions; the solve runs on the small (F, K, C, C) results ---
-        inv = self._inv_xhat_planes(state)
-        XXX = jax.lax.optimization_barrier(
-            matmul_planes(matmul_planes(inv, state["target_planes"]), inv)
-        )
-        Vc = V.astype(H.dtype)
+        # --- spatial (Riccati): per-plane frame GEMMs against V, a tiny
+        # trailing expansion, and the solve on the small (F, K, C, C) ---
+        inv, XXX = self._mu_operands(state)
+        Vr = V.astype(T.dtype)
 
-        def contract_t(P):
-            return jnp.stack(
-                [
-                    jnp.stack(
-                        [
-                            jnp.stack(
-                                [
-                                    (Vc[k][None] * P[c, d]).sum(axis=-1)
-                                    for d in range(n_channels)
-                                ],
-                                axis=-1,
-                            )
-                            for c in range(n_channels)
-                        ],
-                        axis=-2,
-                    )
-                    for k in range(K)
-                ],
-                axis=1,
-            )  # (F, K, C, C)
+        def contract_t(planes):
+            small = jnp.einsum("pft,kt->fkp", planes, Vr)  # (F, K, C²)
+            return expand_hermitian_compact_trailing(small, n_channels)
 
         VXXX = contract_t(XXX)
         A = contract_t(inv)
@@ -598,8 +609,10 @@ class MultichannelISNMF(IterativeSolver):
         covariances are rank-1, so ``det(X·X̂⁻¹)`` rounds ≤ 0 at float32 and
         the direct ``log(det)`` NaNs."""
         eps = self.eps
-        ridge = jnp.full(state["target_planes"].shape[2:], eps)
-        Xp = add_diag_planes(state["target_planes"], ridge)
+        ridge = jnp.full(state["target_planes"].shape[1:], eps)
+        Xp = add_diag_planes(
+            expand_hermitian_compact(state["target_planes"]), ridge
+        )
         Xh = add_diag_planes(self._xhat_planes(state), ridge)
         XX = matmul_planes(Xp, inv_planes(Xh))
         trace = trace_planes(XX)

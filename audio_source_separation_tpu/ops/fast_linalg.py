@@ -336,3 +336,186 @@ def batched_log_abs_det(A):
         return jnp.log(jnp.abs(batched_det(A)))
     _, logdet = jnp.linalg.slogdet(A)
     return logdet.real
+
+
+# --------------------------------------------------------------------------- #
+# Compact Hermitian planes: a Hermitian (n, n, ...) field stored as n² REAL
+# planes — n diagonal planes first, then an (re, im) pair per off-diagonal
+# c < d (``ops.ip_components._plane_index`` ordering, the layout the solvers
+# already use for observed covariances).  Every materialized Hermitian
+# intermediate costs HALF the HBM traffic of complex (n, n, ...) planes
+# (n² real planes vs 2·n²), which dominates the covariance-domain EM/MU
+# chains (Sawada MNMF ``mnmf.py:216-217``, CovarianceISNMF) where X̂, X̂⁻¹
+# and X̂⁻¹XX̂⁻¹ sit behind optimization barriers by design (CLAUDE.md
+# round-4 multi-consumer lever).
+# --------------------------------------------------------------------------- #
+def compact_entry(planes, c, d):
+    """Lazy complex ``(c, d)`` entry of a Hermitian matrix stored as compact
+    real planes ``(n², ...)``; fuses into consumers."""
+    from .ip_components import _plane_index
+
+    n = int(round(planes.shape[0] ** 0.5))
+    index, _ = _plane_index(n)
+    if c == d:
+        p = planes[index[("re", c, c)]]
+        return jax.lax.complex(p, jnp.zeros_like(p))
+    if c < d:
+        return jax.lax.complex(
+            planes[index[("re", c, d)]], planes[index[("im", c, d)]]
+        )
+    return jax.lax.complex(
+        planes[index[("re", d, c)]], -planes[index[("im", d, c)]]
+    )
+
+
+def hermitian_compact_from_entries(entry, n):
+    """Stack compact real planes from a complex entry function (evaluated on
+    the upper triangle only — the function must describe a Hermitian field)."""
+    from .ip_components import _plane_index
+
+    _, order = _plane_index(n)
+    return jnp.stack(
+        [
+            entry(c, d).real if kind == "re" else entry(c, d).imag
+            for kind, c, d in order
+        ]
+    )
+
+
+def expand_hermitian_compact(planes):
+    """Compact real planes ``(n², ...)`` → complex planes ``(n, n, ...)``."""
+    n = int(round(planes.shape[0] ** 0.5))
+    return jnp.stack(
+        [
+            jnp.stack([compact_entry(planes, c, d) for d in range(n)])
+            for c in range(n)
+        ]
+    )
+
+
+def hermitian_compact_from_planes(P):
+    """Complex planes ``(n, n, ...)`` → compact real planes ``(n², ...)``
+    (reads the upper triangle only)."""
+    return hermitian_compact_from_entries(lambda c, d: P[c, d], P.shape[0])
+
+
+def det_hermitian_compact(planes, ridge=None):
+    """Real determinant of a compact Hermitian field (optionally of
+    ``M + ridge·I``); closed forms for n ≤ 3."""
+    n = int(round(planes.shape[0] ** 0.5))
+    if n == 1:
+        d0 = planes[0]
+        return d0 if ridge is None else d0 + ridge
+    if n == 2:
+        a, dd, br, bi = planes[0], planes[1], planes[2], planes[3]
+        if ridge is not None:
+            a, dd = a + ridge, dd + ridge
+        return a * dd - (br * br + bi * bi)
+    if n == 3:
+        def e(c, d):
+            ent = compact_entry(planes, c, d)
+            if ridge is not None and c == d:
+                ent = ent + ridge
+            return ent
+
+        det = (
+            e(0, 0) * (e(1, 1) * e(2, 2) - e(1, 2) * e(2, 1))
+            - e(0, 1) * (e(1, 0) * e(2, 2) - e(1, 2) * e(2, 0))
+            + e(0, 2) * (e(1, 0) * e(2, 1) - e(1, 1) * e(2, 0))
+        )
+        return det.real
+    raise ValueError(
+        "det_hermitian_compact: closed forms cover n <= 3, got {}".format(n)
+    )
+
+
+def inv_hermitian_compact(planes, ridge=None, det=None):
+    """Compact planes of ``(M + ridge·I)⁻¹`` for compact Hermitian ``M``
+    (adjugate over a REAL determinant — the Hermitian determinant's exact
+    imaginary cancellation is applied algebraically); n ≤ 3."""
+    n = int(round(planes.shape[0] ** 0.5))
+    if det is None:
+        det = det_hermitian_compact(planes, ridge=ridge)
+    if n == 1:
+        return (1.0 / det)[None]
+    if n == 2:
+        a, dd, br, bi = planes[0], planes[1], planes[2], planes[3]
+        if ridge is not None:
+            a, dd = a + ridge, dd + ridge
+        return jnp.stack([dd, a, -br, -bi]) / det
+    if n == 3:
+        def e(c, d):
+            ent = compact_entry(planes, c, d)
+            if ridge is not None and c == d:
+                ent = ent + ridge
+            return ent
+
+        # adjugate rows of the general 3×3 (``inv_planes``), Hermitian
+        # result: diagonals real, upper triangle (re, im)
+        adj00 = (e(1, 1) * e(2, 2) - e(1, 2) * e(2, 1)).real
+        adj11 = (e(0, 0) * e(2, 2) - e(0, 2) * e(2, 0)).real
+        adj22 = (e(0, 0) * e(1, 1) - e(0, 1) * e(1, 0)).real
+        adj01 = e(0, 2) * e(2, 1) - e(0, 1) * e(2, 2)
+        adj02 = e(0, 1) * e(1, 2) - e(0, 2) * e(1, 1)
+        adj12 = e(0, 2) * e(1, 0) - e(0, 0) * e(1, 2)
+        return (
+            jnp.stack(
+                [
+                    adj00,
+                    adj11,
+                    adj22,
+                    adj01.real,
+                    adj01.imag,
+                    adj02.real,
+                    adj02.imag,
+                    adj12.real,
+                    adj12.imag,
+                ]
+            )
+            / det
+        )
+    raise ValueError(
+        "inv_hermitian_compact: closed forms cover n <= 3, got {}".format(n)
+    )
+
+
+def sandwich_hermitian_compact(a_planes, x_planes):
+    """Compact planes of ``A·X·A`` for compact Hermitian ``A = Aᴴ`` and
+    ``X`` (the result is Hermitian: ``(AXA)ᴴ = AᴴXᴴAᴴ = AXA``)."""
+    n = int(round(a_planes.shape[0] ** 0.5))
+
+    def ent(c, d):
+        return sum(
+            compact_entry(a_planes, c, a)
+            * compact_entry(x_planes, a, b)
+            * compact_entry(a_planes, b, d)
+            for a in range(n)
+            for b in range(n)
+        )
+
+    return hermitian_compact_from_entries(ent, n)
+
+
+def expand_hermitian_compact_trailing(small, n):
+    """Trailing-compact real ``(..., n²)`` → complex ``(..., n, n)`` (for
+    the TINY per-(bin, source) matrices produced by contracting compact
+    planes over frames)."""
+    from .ip_components import _plane_index
+
+    index, _ = _plane_index(n)
+
+    def ent(c, d):
+        if c == d:
+            p = small[..., index[("re", c, c)]]
+            return jax.lax.complex(p, jnp.zeros_like(p))
+        if c < d:
+            return jax.lax.complex(
+                small[..., index[("re", c, d)]], small[..., index[("im", c, d)]]
+            )
+        return jax.lax.complex(
+            small[..., index[("re", d, c)]], -small[..., index[("im", d, c)]]
+        )
+
+    return jnp.stack(
+        [jnp.stack([ent(c, d) for d in range(n)], -1) for c in range(n)], -2
+    )

@@ -391,3 +391,63 @@ def test_projection_back_components_matches_projection_back(rng):
             ]
         )
         np.testing.assert_allclose(got, expected, rtol=1e-8, atol=1e-10)
+
+
+def test_compact_hermitian_roundtrip_and_closed_forms(rng):
+    """Compact Hermitian planes (n² real planes) round-trip and det/inv/
+    sandwich closed forms vs dense NumPy, n ∈ {1, 2, 3}."""
+    import jax.numpy as jnp
+    from audio_source_separation_tpu.ops.fast_linalg import (
+        hermitian_compact_from_planes,
+        expand_hermitian_compact,
+        det_hermitian_compact,
+        inv_hermitian_compact,
+        sandwich_hermitian_compact,
+        expand_hermitian_compact_trailing,
+    )
+
+    for n in (1, 2, 3):
+        F, T = 5, 7
+        A = random_psd(rng, F, T, n=n)  # (F, T, n, n)
+        planes = jnp.asarray(np.moveaxis(A, (-2, -1), (0, 1)))  # (n, n, F, T)
+        compact = hermitian_compact_from_planes(planes)  # (n², F, T)
+        assert compact.shape == (n * n, F, T)
+        assert not np.iscomplexobj(np.asarray(compact))
+        back = np.moveaxis(np.asarray(expand_hermitian_compact(compact)), (0, 1), (-2, -1))
+        np.testing.assert_allclose(back, A, atol=1e-12)
+
+        det = np.asarray(det_hermitian_compact(compact))
+        np.testing.assert_allclose(det, np.linalg.det(A).real, rtol=1e-10)
+
+        ridge = 0.37
+        det_r = np.asarray(det_hermitian_compact(compact, ridge=ridge))
+        np.testing.assert_allclose(
+            det_r, np.linalg.det(A + ridge * np.eye(n)).real, rtol=1e-10
+        )
+
+        inv_c = inv_hermitian_compact(compact, ridge=ridge)
+        inv = np.moveaxis(
+            np.asarray(expand_hermitian_compact(inv_c)), (0, 1), (-2, -1)
+        )
+        np.testing.assert_allclose(
+            inv, np.linalg.inv(A + ridge * np.eye(n)), rtol=1e-8, atol=1e-10
+        )
+
+        X = random_psd(rng, F, T, n=n)
+        x_compact = hermitian_compact_from_planes(
+            jnp.asarray(np.moveaxis(X, (-2, -1), (0, 1)))
+        )
+        sand = sandwich_hermitian_compact(inv_c, x_compact)
+        sand_dense = np.moveaxis(
+            np.asarray(expand_hermitian_compact(sand)), (0, 1), (-2, -1)
+        )
+        np.testing.assert_allclose(
+            sand_dense, inv @ X @ inv, rtol=1e-8, atol=1e-10
+        )
+
+        # trailing expansion of a frame-contracted compact field
+        small = np.asarray(compact).sum(-1)  # (n², F)
+        dense_small = np.asarray(
+            expand_hermitian_compact_trailing(jnp.asarray(small.T), n)
+        )  # (F, n, n)
+        np.testing.assert_allclose(dense_small, A.sum(1), atol=1e-12)
