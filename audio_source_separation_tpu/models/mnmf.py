@@ -1014,10 +1014,14 @@ class FastMultichannelISNMF(MultichannelNMFBase):
 
         # W update (``mnmf.py:789-800``)
         R = floor_below(self._model_power(state), eps)
-        E_num = jnp.einsum("skt,mft->skmf", H, x_tilde / R**2)
-        E_den = jnp.einsum("skt,mft->skmf", H, 1 / R)
-        num = jnp.einsum("sfm,skmf->sfk", g, E_num)
-        den = floor_below(jnp.einsum("sfm,skmf->sfk", g, E_den), eps)
+        # big-operand-first forms: "mft,skt->mfsk" keeps the (M, F, T)
+        # operand's frame axis minor on BOTH sides of the dot (the
+        # "skt,mft->skmf" form layout-copied the 7.7 MB operand to
+        # (T, M·F) per GEMM; the transpose now lands on the 37 KB H)
+        E_num = jnp.einsum("mft,skt->mfsk", x_tilde / R**2, H)
+        E_den = jnp.einsum("mft,skt->mfsk", 1 / R, H)
+        num = jnp.einsum("sfm,mfsk->sfk", g, E_num)
+        den = floor_below(jnp.einsum("sfm,mfsk->sfk", g, E_den), eps)
         W = W * jnp.sqrt(num / den)
         state = dict(state, basis=W)
 
@@ -1025,8 +1029,8 @@ class FastMultichannelISNMF(MultichannelNMFBase):
         # GEMM with g folded into W
         R = floor_below(self._model_power(state), eps)
         Wg = jnp.einsum("sfk,sfm->skmf", W, g)  # (S, K, M, F), ~300 KB
-        num = jnp.einsum("skmf,mft->skt", Wg, x_tilde / R**2)
-        den = floor_below(jnp.einsum("skmf,mft->skt", Wg, 1 / R), eps)
+        num = jnp.einsum("mft,skmf->skt", x_tilde / R**2, Wg)
+        den = floor_below(jnp.einsum("mft,skmf->skt", 1 / R, Wg), eps)
         H = H * jnp.sqrt(num / den)
         return dict(state, activation=H)
 
@@ -1039,10 +1043,10 @@ class FastMultichannelISNMF(MultichannelNMFBase):
         W, H = state["basis"], state["activation"]
         R = floor_below(self._model_power(state), eps)
         x_tilde = self._qx_power(state)
-        E_num = jnp.einsum("skt,mft->skmf", H, x_tilde / R**2)
-        E_den = jnp.einsum("skt,mft->skmf", H, 1 / R)
-        A = jnp.einsum("sfk,skmf->sfm", W, E_num)
-        B = floor_below(jnp.einsum("sfk,skmf->sfm", W, E_den), eps)
+        E_num = jnp.einsum("mft,skt->mfsk", x_tilde / R**2, H)
+        E_den = jnp.einsum("mft,skt->mfsk", 1 / R, H)
+        A = jnp.einsum("sfk,mfsk->sfm", W, E_num)
+        B = floor_below(jnp.einsum("sfk,mfsk->sfm", W, E_den), eps)
         g = g * jnp.sqrt(A / B)
         return dict(state, spatial_covariance=g)
 
