@@ -450,8 +450,31 @@ def main():
         "- **IPSDTA planes source/fixed-point steps** (round 4): the",
         "  (S, T, n_blocks, B, B) source chains and the fixed-point G",
         "  statistics have planes-layout duals (`source_planes` toggle,",
-        "  bit-parity tested).  Enabled per class default only where the",
-        "  on-chip A/B wins; the rows above use the class defaults.",
+        "  bit-parity tested).  XLA's compiled-body cost model rules them",
+        "  out: source_planes=True roughly DOUBLES both modeled bytes and",
+        "  FLOPs (Kondo 6,324 → 11,113 MB/iter, Ikeshita 3,951 → 7,310,",
+        "  tIPSDTA 6,682 → 11,041 — the B² plane unrolling re-reads operand",
+        "  planes per entry where the matrix path's batched dots read them",
+        "  once), and the matrix-path rows already run at ~the modeled",
+        "  traffic over copy bandwidth, i.e. the chip is NOT paying a tile",
+        "  padding penalty for the (B, B)-minor buffers inside this body.",
+        "  The gate therefore stays off by default.",
+        "- **Compact Hermitian planes** (late round 4): a Hermitian",
+        "  (C, C, F, T) field stores as C² REAL planes (diagonals + re/im",
+        "  per off-diagonal; `ops/fast_linalg.py` compact closed forms) —",
+        "  HALF the bytes of complex planes for every barriered",
+        "  intermediate, with traces pair-reduced over the upper triangle.",
+        "  Sawada MNMF X̂/X̂⁻¹/X̂⁻¹XX̂⁻¹ + the spatial frame contraction:",
+        "  compiled-body cost 1,319 → 739 MB/iteration.  CovarianceISNMF",
+        "  (the covariance-domain factorizer) additionally reassociates its",
+        "  MU trace ratios into plane-level GEMMs (spatial coefficients",
+        "  fold into T; V/T contract against each compact plane once) so",
+        "  the complex (F, K, T) basis-activation product and the per-basis",
+        "  (K, F, T) trace tensors never materialize: 4,929 → 565",
+        "  MB/iteration (8.7×).  FastMNMF's MU E-GEMMs are written",
+        "  big-operand-first so the (M, F, T) operands keep the frame axis",
+        "  minor on both dot sides (the reversed forms layout-copied 7.7 MB",
+        "  per GEMM).",
     ]
     # per-stage attribution table (benchmarks/bench_stages.py artifact)
     stages_path = os.path.join(
