@@ -644,42 +644,52 @@ class MultichannelISNMF(MultichannelNMFBase):
                 M2[r][s] = off[k].conj()
                 k += 1
         sA = sigma_s.astype(A.dtype)
-        # σ_s·(A^H Σx⁻¹ x)_s — an operand of BOTH sufficient-statistic
-        # contractions below; barriered so neither re-expands the v·σ
-        # product chain (the round-4 multi-consumer lever)
-        s_post = jax.lax.optimization_barrier(v * sA)  # (S, F, T)
-        n_frames = X.shape[-1]
+        # σ_s·(A^H Σx⁻¹ x)_s — kept LAZY on purpose: the batched-einsum /
+        # barriered variant ("one dot each, reading the operands once")
+        # measured 2.2× SLOWER on-chip (2,311 → 1,040 iters/s) — the
+        # t-contracting dots layout-copy the big (·, F, T) planes to
+        # frame-major form before every GEMM, and the barrier materializes
+        # a 15 MB complex s_post that XLA otherwise fuses into the per-entry
+        # frame reductions for free.  The modeled op-level bytes pointed the
+        # other way (681 → 412 MB/iter): cost_analysis counts pre-fusion
+        # materializations, not layout copies — trust the chip.
+        s_post = v * sA  # (S, F, T), lazy
 
         def mean_t(plane):
             return plane.mean(axis=-1)  # (F,)
 
-        # sufficient statistics (small (F, ·, ·) outputs).  R_xx is the
-        # hoisted invariant (see ``init_state``); R_xs and the s-posterior
-        # outer product are single batched ``t``-contractions (one dot each,
-        # reading X/s_post exactly once) instead of C·S / S² per-entry plane
-        # fusions that re-read their operands per output entry
+        # sufficient statistics (small (F, ·, ·) outputs from per-entry
+        # plane reductions XLA fuses end-to-end).  R_xx is the hoisted
+        # invariant (see ``init_state``).
         R_xx = state["second_moment"]  # (F, C, C)
-        R_xs = jnp.einsum("cft,sft->fcs", X, s_post.conj()) / n_frames
+        R_xs = jnp.stack(
+            [
+                jnp.stack(
+                    [mean_t(X[c] * s_post[s].conj()) for s in range(S)], -1
+                )
+                for c in range(C)
+            ],
+            -2,
+        )  # (F, C, S)
         # R_ss[s, r] = mean_t [ s_s s̄_r + (δ_sr − (GA)[s, r]) σ_r ] with
-        # GA[s, r] = σ_s·M2[s, r]; the correction is Hermitian, so only the
-        # upper triangle is computed (σ products in real arithmetic) and the
-        # lower is its exact conjugate
-        outer = jnp.einsum("sft,rft->fsr", s_post, s_post.conj()) / n_frames
-        corr = [[None] * S for _ in range(S)]
-        for s in range(S):
-            corr[s][s] = mean_t(sigma_s[s] ** 2 * diag[s]).astype(v.dtype)
-            for r in range(s + 1, S):
-                c_sr = mean_t((sigma_s[s] * sigma_s[r]) * M2[s][r])
-                corr[s][r] = c_sr
-                corr[r][s] = c_sr.conj()
-        corr = jnp.stack(
-            [jnp.stack([corr[s][r] for r in range(S)], -1) for s in range(S)],
+        # GA[s, r] = σ_s·M2[s, r]
+        R_ss = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        mean_t(
+                            s_post[s] * s_post[r].conj()
+                            + ((1.0 if s == r else 0.0) - sA[s] * M2[s][r])
+                            * sA[r]
+                        )
+                        for r in range(S)
+                    ],
+                    -1,
+                )
+                for s in range(S)
+            ],
             -2,
         )  # (F, S, S)
-        mean_sigma = sigma_s.mean(axis=-1)  # (S, F) real — the δ_sr·σ_r term
-        delta = jnp.eye(S, dtype=v.dtype) * mean_sigma.T[:, None, :].astype(v.dtype)
-        R_ss = outer + delta - corr  # (F, S, S)
-        R_ss = (R_ss + jnp.swapaxes(R_ss, -2, -1).conj()) / 2
 
         # component posteriors (diagonals only, ``mnmf.py:332-355``):
         # c_i = σ_c,i (a_i^H Σx⁻¹ x);  U_i = |c_i|² + (1 − σ_c,i a_i^H Σx⁻¹ a_i) σ_c,i
