@@ -690,6 +690,11 @@ class MultichannelISNMF(MultichannelNMFBase):
             ],
             -2,
         )  # (F, S, S)
+        # per-entry construction is Hermitian only up to FP association
+        # order ((sA[s]·M2[s][r])·sA[r] vs (sA[r]·M2[r][s])·sA[s]);
+        # re-symmetrize exactly like the reference (``mnmf.py:356``) —
+        # negligible cost on an (F, S, S) array
+        R_ss = 0.5 * (R_ss + jnp.swapaxes(R_ss, -2, -1).conj())
 
         # component posteriors (diagonals only, ``mnmf.py:332-355``):
         # c_i = σ_c,i (a_i^H Σx⁻¹ x);  U_i = |c_i|² + (1 − σ_c,i a_i^H Σx⁻¹ a_i) σ_c,i
