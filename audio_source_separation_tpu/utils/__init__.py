@@ -7,8 +7,14 @@ from .metrics import (
     pit_si_sdr,
     si_sdr_improvement,
     bss_eval_sources,
+    bss_eval_improvement,
 )
-from .callbacks import SDRImprovementCallback, StateSnapshotCallback, LossLogger
+from .callbacks import (
+    SDRImprovementCallback,
+    BSSEvalCallback,
+    StateSnapshotCallback,
+    LossLogger,
+)
 from .synthesis import convolutive_mixture, synthetic_room_impulse_responses
 
 __all__ = [
@@ -27,7 +33,9 @@ __all__ = [
     "pit_si_sdr",
     "si_sdr_improvement",
     "bss_eval_sources",
+    "bss_eval_improvement",
     "SDRImprovementCallback",
+    "BSSEvalCallback",
     "StateSnapshotCallback",
     "LossLogger",
     "convolutive_mixture",

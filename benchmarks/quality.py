@@ -152,7 +152,10 @@ def main():
         TIPSDTA,
         torch_dnn,
     )
-    from audio_source_separation_tpu.utils.metrics import si_sdr_improvement
+    from audio_source_separation_tpu.utils.metrics import (
+        bss_eval_improvement,
+        si_sdr_improvement,
+    )
 
     ref = _reference_modules() if args.reference and os.path.isdir(REFERENCE_SRC) else None
 
@@ -169,12 +172,19 @@ def main():
     X3 = np.asarray(asst.stft(mixture3, fft_size=fft_size, hop_size=hop))
 
     def sdri(Y, mix=None, imgs=None):
+        """Both quality metrics on the istft'd estimate: PIT SI-SDRi and the
+        mir_eval-convention BSS Eval SDRi (512-tap joint projection) —
+        the latter is directly comparable to the reference notebooks'
+        ``mir_eval.bss_eval_sources`` curves."""
         mix = mixture if mix is None else mix
         imgs = images if imgs is None else imgs
         y = np.asarray(
             asst.istft(Y, fft_size=fft_size, hop_size=hop, length=mix.shape[-1])
         )
-        return float(si_sdr_improvement(y, mix[0], imgs))
+        return (
+            float(si_sdr_improvement(y, mix[0], imgs)),
+            float(bss_eval_improvement(y, mix[0], imgs)),
+        )
 
     def ilrma_seed_spatial():
         """Rank-1 spatial covariances from a short ILRMA run (the reference
@@ -394,7 +404,8 @@ def main():
         record = {"solver": name, "iterations": iters}
         try:
             ours = run(factory, callkw)
-            record["si_sdr_improvement_db"] = round(ours, 2)
+            record["si_sdr_improvement_db"] = round(ours[0], 2)
+            record["bss_eval_sdr_improvement_db"] = round(ours[1], 2)
         except Exception as exc:  # noqa: BLE001
             ours = None
             record["error"] = str(exc)[:200]
@@ -406,7 +417,8 @@ def main():
                 with warnings.catch_warnings():
                     warnings.simplefilter("ignore")
                     ref_val = run(ref_factory, callkw_ref)
-                record["reference_cpu_db"] = round(ref_val, 2)
+                record["reference_cpu_db"] = round(ref_val[0], 2)
+                record["reference_bss_eval_db"] = round(ref_val[1], 2)
             except Exception as exc:  # noqa: BLE001
                 record["reference_error"] = str(exc)[:200]
         rows.append((name, iters, ours, ref_val, ref_factory is not None))
@@ -456,7 +468,8 @@ def main():
         record = {"solver": name, "iterations": "-"}
         try:
             val = sdri(np.asarray(fn()), mixture, images)
-            record["si_sdr_improvement_db"] = round(val, 2)
+            record["si_sdr_improvement_db"] = round(val[0], 2)
+            record["bss_eval_sdr_improvement_db"] = round(val[1], 2)
         except Exception as exc:  # noqa: BLE001
             val = None
             record["error"] = str(exc)[:200]
@@ -476,28 +489,48 @@ def main():
             jax.default_backend()
         ),
     ]
+    lines += [
+        "The `SDRi BSS Eval` column is the mir_eval convention (512-tap",
+        "joint-projection `bss_eval_sources`, permutation by max mean SIR) —",
+        "directly comparable to the reference notebooks' per-iteration",
+        "`mir_eval` curves (`utils.metrics.bss_eval_sources`).",
+    ]
     if has_ref:
         lines += [
-            "The `reference (CPU)` column is the ACTUAL reference implementation",
+            "The `reference (CPU)` columns are the ACTUAL reference implementation",
             "(`/root/reference/src`, NumPy float64) on the SAME fixture with the",
             "SAME seeded init — the fixture-scale quality-parity proof.",
             "",
-            "| Solver | iterations | SI-SDRi (dB) | reference (CPU) |",
-            "|---|---|---|---|",
+            "| Solver | iterations | SI-SDRi (dB) | SDRi BSS Eval (dB) "
+            "| ref SI-SDRi (CPU) | ref BSS Eval (CPU) |",
+            "|---|---|---|---|---|---|",
         ]
     else:
-        lines += ["", "| Solver | iterations | SI-SDRi (dB) |", "|---|---|---|"]
+        lines += [
+            "",
+            "| Solver | iterations | SI-SDRi (dB) | SDRi BSS Eval (dB) |",
+            "|---|---|---|---|",
+        ]
+
+    def _fmt(pair, idx):
+        return "{:+.2f}".format(pair[idx]) if pair is not None else "error"
+
     for name, iters, ours, ref_val, has_row_ref in rows:
-        ours_s = "{:+.2f}".format(ours) if ours is not None else "error"
+        ours_si, ours_bss = _fmt(ours, 0), _fmt(ours, 1)
         if has_ref:
-            ref_s = (
-                "{:+.2f}".format(ref_val)
-                if ref_val is not None
-                else ("error" if has_row_ref else "n/a")
+            if ref_val is not None:
+                ref_si, ref_bss = _fmt(ref_val, 0), _fmt(ref_val, 1)
+            else:
+                ref_si = ref_bss = "error" if has_row_ref else "n/a"
+            lines.append(
+                "| {} | {} | {} | {} | {} | {} |".format(
+                    name, iters, ours_si, ours_bss, ref_si, ref_bss
+                )
             )
-            lines.append("| {} | {} | {} | {} |".format(name, iters, ours_s, ref_s))
         else:
-            lines.append("| {} | {} | {} |".format(name, iters, ours_s))
+            lines.append(
+                "| {} | {} | {} | {} |".format(name, iters, ours_si, ours_bss)
+            )
     lines += [
         "",
         "Notes:",
