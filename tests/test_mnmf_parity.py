@@ -254,3 +254,145 @@ def test_fastmnmf_update_matches_reference_math(rng):
     )
     np.testing.assert_allclose(np.asarray(new_state["basis"]), W_ref, atol=1e-8)
     np.testing.assert_allclose(np.asarray(new_state["activation"]), H_ref, atol=1e-8)
+
+
+# --------------------------------------------------------------------------- #
+# Ozerov EM one full (corrected) update step vs an independent float64 oracle
+# --------------------------------------------------------------------------- #
+def oracle_ozerov_update(X, A, sigma_b, W, H, normalize=True, eps=EPS):
+    """Independent float64 NumPy re-derivation of ONE corrected Ozerov EM
+    step, written in plain per-(bin, frame) matrix form (no component planes,
+    no adjugate tricks, no collapsed posteriors) — pins the production
+    ``_update_ozerov`` math beyond monotonicity.  Statistics follow the
+    reference (``/root/reference/src/bss/mnmf.py:307-375``) with the repo's
+    documented corrections: H updated from the NEW W (valid coordinate
+    minimizer), per-(bin, source) normalization compensation W·λ², floored
+    noise diagonal.
+    """
+    C, F, Tn = X.shape
+    S = A.shape[-1]
+    K = W.shape[-1]
+
+    sigma_s = np.einsum("sfk,skt->sft", W, H)  # (S, F, T)
+
+    # E step: per-(f, t) dense posteriors
+    v = np.zeros((S, F, Tn), dtype=complex)  # A^H Σx⁻¹ x
+    M2_diag = np.zeros((S, F, Tn))  # Re diag(A^H Σx⁻¹ A)
+    R_xs = np.zeros((F, C, S), dtype=complex)
+    R_ss = np.zeros((F, S, S), dtype=complex)
+    R_xx = np.zeros((F, C, C), dtype=complex)
+    for f in range(F):
+        Af = A[f]
+        for t in range(Tn):
+            x = X[:, f, t]
+            Sx = Af @ np.diag(sigma_s[:, f, t]) @ Af.conj().T + np.diag(sigma_b[f])
+            Sxi = np.linalg.inv(Sx)
+            vft = Af.conj().T @ Sxi @ x  # (S,)
+            M2 = Af.conj().T @ Sxi @ Af  # (S, S)
+            v[:, f, t] = vft
+            M2_diag[:, f, t] = np.diag(M2).real
+            s_hat = sigma_s[:, f, t] * vft
+            D = np.diag(sigma_s[:, f, t])
+            R_ss[f] += np.outer(s_hat, s_hat.conj()) + D - D @ M2 @ D
+            R_xs[f] += np.outer(x, s_hat.conj())
+            R_xx[f] += np.outer(x, x.conj())
+    R_xs /= Tn
+    R_ss /= Tn
+    R_xx /= Tn
+    R_ss = 0.5 * (R_ss + R_ss.conj().swapaxes(-2, -1))
+
+    # M step: mixing matrix, noise diagonal (floored)
+    A_new = np.stack([R_xs[f] @ np.linalg.inv(R_ss[f]) for f in range(F)])
+    resid = (
+        R_xx
+        - A_new @ R_xs.conj().swapaxes(-2, -1)
+        - R_xs @ A_new.conj().swapaxes(-2, -1)
+        + A_new @ R_ss @ A_new.conj().swapaxes(-2, -1)
+    )
+    sigma_b_new = np.maximum(
+        np.diagonal(resid, axis1=-2, axis2=-1).real, eps
+    )  # (F, C)
+
+    # NMF M step: W from the component posteriors of the OLD parameters
+    # (U/H = W + W²·H·B with B = |v|² − Re diag M2), then H from the NEW W
+    B = np.abs(v) ** 2 - M2_diag  # (S, F, T)
+    W_new = W + W**2 * (np.einsum("skt,sft->sfk", H, B) / Tn)
+    Wf = np.maximum(W_new, eps)
+    H_new = H**2 * (np.einsum("sfk,sft->skt", W**2 / Wf, B) / F) + H * np.mean(
+        W / Wf, axis=1
+    )[:, :, None]
+
+    if normalize:
+        scale = np.sqrt(np.sum(np.abs(A_new) ** 2, axis=1, keepdims=True))  # (F,1,S)
+        A_new = A_new / scale
+        W_new = W_new * np.transpose(scale, (2, 0, 1)) ** 2
+        wsum = W_new.sum(axis=1)  # (S, K)
+        W_new = W_new / wsum[:, None, :]
+        H_new = H_new * wsum[:, :, None]
+    return A_new, sigma_b_new, W_new, H_new
+
+
+def test_ozerov_update_matches_float64_oracle(rng):
+    import jax.numpy as jnp
+    import warnings
+
+    C, F, Tn, K = 2, 5, 8, 3
+    X = (rng.randn(C, F, Tn) + 1j * rng.randn(C, F, Tn)).astype(np.complex128)
+    np.random.seed(111)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        solver = MultichannelISNMF(n_basis=K, author="Ozerov", recordable_loss=False)
+    solver.set_shape_metadata(X)
+    kwargs = solver.prepare_state_kwargs(X, {})
+    state = solver.init_state(
+        jnp.asarray(X), **{k: jnp.asarray(v) for k, v in kwargs.items()}
+    )
+    A0 = np.asarray(kwargs["mix_filter"])
+    sb0 = np.asarray(kwargs["noise_covariance"])
+    W0 = np.asarray(kwargs["basis"])
+    H0 = np.asarray(kwargs["activation"])
+
+    new_state = solver.update_state(state)
+    A_ref, sb_ref, W_ref, H_ref = oracle_ozerov_update(
+        X, A0.copy(), sb0.copy(), W0.copy(), H0.copy(), normalize=solver.normalize
+    )
+    np.testing.assert_allclose(np.asarray(new_state["mix_filter"]), A_ref, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(new_state["noise_covariance"]), sb_ref, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(new_state["basis"]), W_ref, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(new_state["activation"]), H_ref, atol=1e-9)
+
+
+def test_ozerov_three_channel_update_matches_float64_oracle(rng):
+    """Same oracle at C = S = 3 — exercises the 3×3 adjugate/det closed
+    forms in the collapsed-posterior path."""
+    import jax.numpy as jnp
+    import warnings
+
+    C, F, Tn, K = 3, 4, 6, 2
+    X = (rng.randn(C, F, Tn) + 1j * rng.randn(C, F, Tn)).astype(np.complex128)
+    np.random.seed(111)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        solver = MultichannelISNMF(n_basis=K, author="Ozerov", recordable_loss=False)
+    solver.set_shape_metadata(X)
+    kwargs = solver.prepare_state_kwargs(X, {})
+    state = solver.init_state(
+        jnp.asarray(X), **{k: jnp.asarray(v) for k, v in kwargs.items()}
+    )
+    new_state = solver.update_state(state)
+    A_ref, sb_ref, W_ref, H_ref = oracle_ozerov_update(
+        X,
+        np.asarray(kwargs["mix_filter"]),
+        np.asarray(kwargs["noise_covariance"]),
+        np.asarray(kwargs["basis"]),
+        np.asarray(kwargs["activation"]),
+        normalize=solver.normalize,
+    )
+    np.testing.assert_allclose(np.asarray(new_state["mix_filter"]), A_ref, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(new_state["noise_covariance"]), sb_ref, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(new_state["basis"]), W_ref, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(new_state["activation"]), H_ref, atol=1e-9)
