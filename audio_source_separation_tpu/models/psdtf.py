@@ -10,24 +10,92 @@ raises like the reference (``psdtf.py:103``).
 API: ``V, H = model(target, iteration=N)`` with
 ``V (n_bins, n_bins, n_basis)``, ``H (n_basis, n_frames)``.
 
-TPU notes: every step is batched Hermitian linalg (``eigh`` / ``cholesky`` /
-``inv``) over the basis or frame axis — all TPU-supported; the reference's
-eigendecomposition-based matrix sqrt/inverse maps 1:1 onto
-:func:`~audio_source_separation_tpu.algorithm.linalg.hermitian_matrix_power`.
+TPU design (round 5 — the reference chain is decomposition-bound):
+
+* **One ``eigh`` per model inverse.** The reference's
+  ``to_PSD(Y) → inv → to_PSD(inv)`` chain (``psdtf.py:129-131``) costs two
+  batched ``eigvalsh`` + one LU inverse per call; a single Hermitian
+  eigendecomposition yields the PSD shift, the inverse, *and* the
+  log-determinant of the same matrix.  ``_eigh_psd``/``_inv_from_eigh``
+  reproduce the reference guards exactly in the shared eigenbasis (the
+  ``to_PSD`` ridge on the inverse is ``eps·tr(inv)·I`` with ``delta = 0``
+  because the reconstructed inverse is PSD by construction).
+* **Eigh reuse across the loop.** The loss of iteration *i* and the basis
+  step of iteration *i+1* both decompose the same ``Y(V, H)``; the
+  decomposition is carried in the state (``y_eigvals``/``y_eigvecs``), so a
+  full iteration (basis + activation + loss) costs two batched ``eigh`` on
+  ``(T, B, B)`` instead of the reference chain's eight ``eigvalsh`` + three
+  LU inverses.
+* **PSD-by-construction guards.** ``A M Aᴴ`` products of PSD factors
+  (``YXY``, ``P``, ``Q``, ``LVPVL``, the final ``V``) are PSD up to
+  roundoff, so the reference's eigenvalue shift is identically zero there;
+  the guard reduces to symmetrize + ``eps·trace`` ridge (documented
+  divergence: roundoff-level negative eigenvalues are absorbed by the ridge
+  instead of an exact shift — parity-tested at float64 against the
+  reference, ``tests/test_reference_parity.py::test_ldpsdtf_matches_reference``).
+* **Trace reassociation.** The activation numerators/denominators
+  ``tr(Y⁻¹ V_k Y⁻¹ X_t)`` / ``tr(Y⁻¹ V_k)`` contract as
+  ``einsum("kij,tji->kt")`` against ``Y⁻¹ X Y⁻¹`` / ``Y⁻¹`` — the
+  reference's explicit ``(K, T, B, B)`` tensor (``psdtf.py:169``) is never
+  materialized.
+* Loop invariants (``target`` transpose and its per-frame log-det) are
+  computed once at init and closed over the scan body instead of being
+  carried.
 """
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..criterion.divergence import logdet_divergence
+from ..ops.fast_linalg import batched_eigvalsh
 from ..runtime.solver import IterativeSolver
 from ..utils.linalg import to_psd
 
 EPS = 1e-12
 
 
+def _sym(X):
+    Xt = jnp.swapaxes(X, -2, -1)
+    return (X + (Xt.conj() if jnp.iscomplexobj(X) else Xt)) / 2
+
+
+def _ridge(X, eps):
+    """Symmetrize + ``eps·trace`` identity ridge — the reference ``to_PSD``
+    for matrices that are PSD by construction (``delta = 0``)."""
+    X = _sym(X)
+    n = X.shape[-1]
+    trace = jnp.trace(X, axis1=-2, axis2=-1).real
+    return X + (eps * trace)[..., None, None] * jnp.eye(n, dtype=X.dtype)
+
+
+def _eigh_psd(Y, eps):
+    """Eigendecomposition of ``to_PSD(Y)`` (reference ``utils_linalg.py:9-31``).
+
+    Returns ``(w, v)`` with ``w`` the *shifted* eigenvalues: symmetrize,
+    shift by the most negative eigenvalue (if any), add the ``eps·trace``
+    ridge — all diagonal in the eigenbasis of the symmetrized ``Y``.
+    """
+    Ys = _sym(Y)
+    w, v = jnp.linalg.eigh(Ys)
+    delta = jnp.minimum(jnp.min(w, axis=-1), 0)
+    trace = jnp.trace(Ys, axis1=-2, axis2=-1).real
+    return w + (eps * trace - delta)[..., None], v
+
+
+def _inv_from_eigh(w, v, eps):
+    """``to_PSD(inv(to_PSD(Y)))`` from the decomposition of ``to_PSD(Y)``
+    (reference ``psdtf.py:130-131``): the inverse has eigenvalues ``1/w > 0``
+    in the same eigenbasis, so the second guard's shift is zero and its ridge
+    is ``eps·Σ(1/w)``."""
+    wi = 1 / w
+    wi = wi + eps * jnp.sum(wi, axis=-1, keepdims=True)
+    vh = jnp.swapaxes(v, -2, -1).conj()
+    return _sym((v * wi[..., None, :]) @ vh)
+
+
 class PSDTFBase(IterativeSolver):
     state_fields = ("basis", "activation")
+    invariant_fields = ("target", "target_t", "target_logdet")
     record_initial_loss = False
 
     def __init__(self, n_basis=2, normalize=True, eps=EPS):
@@ -51,10 +119,31 @@ class PSDTFBase(IterativeSolver):
         trace = jnp.trace(V, axis1=0, axis2=1).real
         return V / trace, H * trace[:, None]
 
+    def _model_eigh(self, basis, activation):
+        """Decompose ``to_PSD(Σ_k H_k V_k)`` (the model covariance)."""
+        ct = jnp.result_type(basis, activation)
+        Y = jnp.einsum(
+            "ijk,kt->tij", basis.astype(ct), activation.astype(ct)
+        )
+        return _eigh_psd(Y, self.eps)
+
     def init_state(self, target, basis=None, activation=None):
         if self.normalize:
             basis, activation = self._normalize(basis, activation)
-        return {"target": target, "basis": basis, "activation": activation}
+        Xt = jnp.transpose(target, (2, 0, 1))
+        # per-frame log-det of the (fixed) target, floored like the loss
+        # (``criterion/divergence.py:83-105``) — loop-invariant
+        eig_x = jnp.maximum(batched_eigvalsh(_sym(Xt)).real, self.eps)
+        y_w, y_v = self._model_eigh(basis, activation)
+        return {
+            "target": target,
+            "target_t": Xt,
+            "target_logdet": jnp.sum(jnp.log(eig_x), axis=-1),
+            "basis": basis,
+            "activation": activation,
+            "y_eigvals": y_w,
+            "y_eigvecs": y_v,
+        }
 
     def reconstruct(self, state):
         V, H = state["basis"], state["activation"]
@@ -62,8 +151,17 @@ class PSDTFBase(IterativeSolver):
         return to_psd(VH, eps=self.eps)
 
     def nll(self, state):
-        X = jnp.transpose(state["target"], (2, 0, 1))
-        return self.criterion(self.reconstruct(state), X).sum()
+        """Log-det divergence against the fixed target (``psdtf.py:78-85``),
+        evaluated from the carried model decomposition: ``tr(X Y⁻¹)`` via the
+        eigenbasis quadratic form, ``log det Y`` from the shifted eigenvalues."""
+        w, v = state["y_eigvals"], state["y_eigvecs"]
+        X = state["target_t"]
+        n = X.shape[-1]
+        Xv = X.astype(v.dtype) @ v
+        quad = jnp.einsum("tbi,tbi->ti", v.conj(), Xv).real
+        trace = jnp.sum(quad / w, axis=-1)
+        logdet_y = jnp.sum(jnp.log(jnp.maximum(w, self.eps)), axis=-1)
+        return jnp.sum(trace - state["target_logdet"] + logdet_y - n)
 
     def finalize(self, state):
         return state["basis"], state["activation"]
@@ -84,43 +182,42 @@ class LDPSDTF(PSDTFBase):
         self.algorithm = algorithm
         self.criterion = logdet_divergence
 
-    def _model_inverse(self, V, H):
-        """``Y_t = Σ_k H V`` and its PSD-projected inverse (``psdtf.py:127-131``)."""
-        Y = jnp.einsum("kij,kt->tij", V, H.astype(V.dtype))
-        Y = to_psd(Y, eps=self.eps)
-        inv_Y = jnp.linalg.inv(Y)
-        return to_psd(inv_Y, eps=self.eps)
-
     def update_state(self, state):
         eps = self.eps
-        X = jnp.transpose(state["target"], (2, 0, 1))  # (T, B, B)
+        X = state["target_t"]  # (T, B, B)
         V = jnp.transpose(state["basis"], (2, 0, 1))  # (K, B, B)
         H = state["activation"]  # (K, T)
+        Hc = H.astype(V.dtype)
 
         # --- basis (Cholesky + matrix-sqrt chain, ``psdtf.py:120-154``) ---
-        inv_Y = self._model_inverse(V, H)
-        YXY = to_psd(inv_Y @ X @ inv_Y, eps=eps)
-        Hc = H.astype(V.dtype)
-        P = to_psd(jnp.einsum("kt,tij->kij", Hc, inv_Y), eps=eps)
-        Q = to_psd(jnp.einsum("kt,tij->kij", Hc, YXY), eps=eps)
+        # Y(V, H) was decomposed for the previous loss — reuse it.
+        inv_Y = _inv_from_eigh(state["y_eigvals"], state["y_eigvecs"], eps)
+        YXY = _ridge(inv_Y @ X.astype(inv_Y.dtype) @ inv_Y, eps)
+        P = _ridge(jnp.einsum("kt,tij->kij", Hc, inv_Y), eps)
+        Q = _ridge(jnp.einsum("kt,tij->kij", Hc, YXY), eps)
 
         L = jnp.linalg.cholesky(Q)
         if not jnp.iscomplexobj(X):
             L = L.real
         Lh = jnp.swapaxes(L, -2, -1).conj()
-        LVPVL = to_psd(Lh @ V @ P @ V @ L, eps=eps)
-        w, v = jnp.linalg.eigh(LVPVL)
+        LVPVL = _ridge(Lh @ V @ P @ V @ L, eps)
+        w, u = jnp.linalg.eigh(LVPVL)
         w = jnp.sqrt(jnp.maximum(w, 0))
-        sqrt_LVPVL = to_psd((v * w[..., None, :]) @ jnp.swapaxes(v, -2, -1).conj(), eps=eps)
-        inv_sqrt = jnp.linalg.inv(sqrt_LVPVL)
-        V = to_psd(V @ L @ inv_sqrt @ Lh @ V, eps=eps)
+        # to_PSD(√LVPVL) then invert (``psdtf.py:146-149``): the sqrt is PSD
+        # by construction, so the guard is the eps·Σw ridge in the basis u
+        w = w + eps * jnp.sum(w, axis=-1, keepdims=True)
+        uh = jnp.swapaxes(u, -2, -1).conj()
+        inv_sqrt = (u * (1 / w)[..., None, :]) @ uh
+        V = _ridge(V @ L @ inv_sqrt @ Lh @ V, eps)
 
         # --- activation (trace-ratio rule, ``psdtf.py:156-176``) ---
-        inv_Y = self._model_inverse(V, H)
-        inv_YV = inv_Y[None] @ V[:, None]  # (K, T, B, B)
-        inv_YX = inv_Y @ X  # (T, B, B)
-        num = jnp.einsum("ktij,tji->kt", inv_YV, inv_YX).real
-        den = jnp.trace(inv_YV, axis1=-2, axis2=-1).real
+        w2, v2 = self._model_eigh(jnp.transpose(V, (1, 2, 0)), H)
+        inv_Y = _inv_from_eigh(w2, v2, eps)
+        M = inv_Y @ X.astype(inv_Y.dtype) @ inv_Y
+        # tr(Y⁻¹ V_k Y⁻¹ X_t) = Σ_ij V_k[i,j]·(Y⁻¹XY⁻¹)_t[j,i]; the
+        # reference's (K, T, B, B) intermediate never materializes
+        num = jnp.einsum("kij,tji->kt", V, M).real
+        den = jnp.einsum("kij,tji->kt", V, inv_Y).real
         num = jnp.maximum(num, 0)
         den = jnp.maximum(den, eps)
         H = H * jnp.sqrt(num / den)
@@ -128,7 +225,16 @@ class LDPSDTF(PSDTFBase):
         basis = jnp.transpose(V, (1, 2, 0))
         if self.normalize:
             basis, H = self._normalize(basis, H)
-        return {"target": state["target"], "basis": basis, "activation": H}
+        # decompose the updated model once: next iteration's loss AND its
+        # basis step both read it (trace-normalization leaves Y unchanged)
+        y_w, y_v = self._model_eigh(basis, H)
+        return dict(
+            state,
+            basis=basis,
+            activation=H,
+            y_eigvals=y_w,
+            y_eigvecs=y_v,
+        )
 
 
 def nonparallel_inv(X, use_cholesky=True):
