@@ -327,9 +327,30 @@ class ComplexEUCNMF(IterativeSolver):
     Documented divergence: the reference's recorded loss reconstructs with the
     raw phase *angles* (``nmf.py:106-109``, a bug); here the loss uses
     ``exp(1j·Phi)`` — the quantity the updates actually minimize.
+
+    TPU layout (round 5): the phase lives in the state as a *unit phasor* in
+    real planes (``phase_cos``/``phase_sin``) instead of angles — the
+    reference's per-iteration ``exp(1j·Phi)`` / ``angle(Z_bar)`` round trip
+    (two transcendental sweeps over the (F, K, T) tensor, ``nmf.py:630,661``)
+    becomes one rsqrt normalization of ``Z_bar``; angles are recovered once at
+    :meth:`finalize` (``atan2`` is scale-invariant, so this is exact).  The
+    ``/Beta`` quotients collapse algebraically (``TV/Beta = ΣTV``):
+
+    * ``Σ_t (V/Beta)·Re = Σ_t V·ΣTV + V·re``  (one GEMM + one contraction)
+    * ``Σ_t V²/Beta = (Σ_t V·ΣTV)/T``         (the same GEMM)
+    * ``Σ_f (T'/Beta)·Re = Σ_f T'·ΣTV + T'·re``
+    * ``Σ_f T'²/Beta = (Σ_f (T'²/T)·ΣTV)/V``
+
+    with ``re = Re(ZX*·e^{iΦ})``, so no ``(F, K, T)`` quotient tensors are
+    ever materialized.  Documented divergence: the collapse assumes the
+    ``Beta ≥ eps`` / ``ΣTV ≥ eps`` floors are inactive (true away from
+    exactly-zero factor entries); guarded divisions keep the degenerate
+    direction identical (V → 0 stays 0).  Trajectory-parity-tested against a
+    literal NumPy port at float64 (``tests/test_nmf.py``).
     """
 
     state_fields = ("basis", "activation", "phase")
+    invariant_fields = ("target",)
     record_initial_loss = False
 
     def __init__(self, n_basis=2, regularizer=0.1, p=1, eps=EPS):
@@ -358,54 +379,76 @@ class ComplexEUCNMF(IterativeSolver):
             "target": target,
             "basis": basis,
             "activation": activation,
-            "phase": phase,
+            "phase_cos": jnp.cos(phase),
+            "phase_sin": jnp.sin(phase),
         }
-
-    def _beta(self, T, V):
-        TV = T[:, :, None] * V[None, :, :]
-        TVsum = jnp.maximum(TV.sum(axis=1, keepdims=True), self.eps)
-        return TV / TVsum
 
     def update_state(self, state):
         Z = state["target"]
-        T, V, Phi = state["basis"], state["activation"], state["phase"]
+        T, V = state["basis"], state["activation"]
+        Ure, Uim = state["phase_cos"], state["phase_sin"]
         regularizer, p, eps = self.regularizer, self.p, self.eps
 
-        Ephi = jnp.exp(1j * Phi)
-        Beta = jnp.maximum(self._beta(T, V), eps)
+        TV = T[:, :, None] * V[None, :, :]
+        TVsum = jnp.maximum(TV.sum(axis=1), eps)  # (F, T)
+        Beta = jnp.maximum(TV / TVsum[:, None, :], eps)
 
-        X = T[:, :, None] * V[None, :, :] * Ephi
-        ZX = Z - X.sum(axis=1)
-        Z_bar = X + Beta * ZX[:, None, :]
+        Xre = TV * Ure
+        Xim = TV * Uim
+        ZXre = Z.real - Xre.sum(axis=1)
+        ZXim = Z.imag - Xim.sum(axis=1)
+        # re = Re(ZX* · e^{iΦ}) — the only phase-dependent part of the
+        # reference's Re = Re(Z_bar* · e^{iΦ}) = TV + Beta·re
+        re = ZXre[:, None, :] * Ure + ZXim[:, None, :] * Uim
         V_bar = jnp.maximum(V, eps)
-        Re = jnp.real(Z_bar.conj() * Ephi)
 
-        numerator = ((V[None, :, :] / Beta) * Re).sum(axis=2)
-        denominator = jnp.maximum(jnp.sum(V[None, :, :] ** 2 / Beta, axis=2), eps)
-        T = numerator / denominator
+        # basis: (Σ_t V·ΣTV + V·re) / (Σ_t V·ΣTV / T)
+        G_T = TVsum @ V.T  # (F, K)
+        R_V = jnp.einsum("kt,fkt->fk", V, re)
+        T_new = (G_T + R_V) / jnp.maximum(
+            G_T / jnp.maximum(T, eps * eps), eps
+        )
 
-        numerator = ((T[:, :, None] / Beta) * Re).sum(axis=0)
+        # activation (with the updated basis, like the reference)
+        G_V = T_new.T @ TVsum  # (K, T)
+        R_T = jnp.einsum("fk,fkt->kt", T_new, re)
+        G3 = (T_new**2 / jnp.maximum(T, eps * eps)).T @ TVsum
         denominator = jnp.maximum(
-            jnp.sum(T[:, :, None] ** 2 / Beta, axis=0)
-            + regularizer * p * V_bar ** (p - 2),
+            G3 / jnp.maximum(V, eps * eps) + regularizer * p * V_bar ** (p - 2),
             eps,
         )
-        V = numerator / denominator
+        V = (G_V + R_T) / denominator
 
-        Phi = jnp.angle(Z_bar)
-        T = T / T.sum(axis=0)
+        # phase: e^{i·angle(Z_bar)} = Z_bar / |Z_bar| (exp/atan2-free)
+        Zbre = Xre + Beta * ZXre[:, None, :]
+        Zbim = Xim + Beta * ZXim[:, None, :]
+        mag = jnp.sqrt(Zbre**2 + Zbim**2)
+        safe = mag > 0
+        Ure = jnp.where(safe, Zbre / jnp.where(safe, mag, 1), 1.0)
+        Uim = jnp.where(safe, Zbim / jnp.where(safe, mag, 1), 0.0)
 
-        return {"target": Z, "basis": T, "activation": V, "phase": Phi}
+        T_new = T_new / T_new.sum(axis=0)
+
+        return dict(
+            state,
+            basis=T_new,
+            activation=V,
+            phase_cos=Ure,
+            phase_sin=Uim,
+        )
 
     def nll(self, state):
-        T, V, Phi = state["basis"], state["activation"], state["phase"]
-        reconstruction = jnp.sum(
-            T[:, :, None] * V[None, :, :] * jnp.exp(1j * Phi), axis=1
-        )
-        return (jnp.abs(reconstruction - state["target"]) ** 2).sum()
+        T, V = state["basis"], state["activation"]
+        VUre = V[None, :, :] * state["phase_cos"]
+        VUim = V[None, :, :] * state["phase_sin"]
+        recon_re = jnp.einsum("fk,fkt->ft", T, VUre)
+        recon_im = jnp.einsum("fk,fkt->ft", T, VUim)
+        Z = state["target"]
+        return ((recon_re - Z.real) ** 2 + (recon_im - Z.imag) ** 2).sum()
 
     def finalize(self, state):
-        return state["basis"], state["activation"], state["phase"]
+        phase = jnp.arctan2(state["phase_sin"], state["phase_cos"])
+        return state["basis"], state["activation"], phase
 
     def __call__(self, target, iteration=100, **kwargs):
         return super().__call__(np.asarray(target), iteration=iteration, **kwargs)
