@@ -100,7 +100,7 @@ class MultichannelISNMF(MultichannelNMFBase):
         "mix_filter",
         "noise_covariance",
     )
-    invariant_fields = ("input", "covariance_planes", "second_moment")
+    invariant_fields = ("input", "covariance_planes", "second_moment", "bin_scale")
 
     def __init__(
         self,
@@ -173,6 +173,7 @@ class MultichannelISNMF(MultichannelNMFBase):
             mix_filter={"bins": 0},
             noise_covariance={"bins": 0},
             second_moment={"bins": 0},
+            bin_scale={"bins": 0},
             basis={"bins": 1},
             activation={"frames": -1},
         )
@@ -218,7 +219,19 @@ class MultichannelISNMF(MultichannelNMFBase):
                     n_bins, n_channels, n_sources
                 ) + 1j * np.random.randn(n_bins, n_channels, n_sources)
             if "basis" not in state_kwargs:
-                state_kwargs["basis"] = np.random.rand(n_sources, n_bins, n_basis)
+                # per-BIN power shaping (round 5): a flat rand(0,1) spectrum
+                # mismatches quiet bins by the full ~24-decade spectral
+                # dynamic range; the EM must then crush W by ~1e10 at those
+                # bins, and the transient Σx (model ≫ data) drives the C=2
+                # determinant negative at float32 (observed NaN on
+                # sample-song).  Shaping the draw by P_f/p̄ starts every bin
+                # at its own power level (σ_s(f) ~ P_f) — at the reference's
+                # implicit O(1)-flat-power operating point the factor is 1
+                # and this is a no-op; RNG order/count unchanged.
+                state_kwargs["basis"] = (
+                    np.random.rand(n_sources, n_bins, n_basis)
+                    * (np.maximum(P, eps) / p_bar)[None, :, None]
+                )
             if "activation" not in state_kwargs:
                 state_kwargs["activation"] = p_bar * np.random.rand(
                     n_sources, n_basis, n_frames
@@ -246,6 +259,31 @@ class MultichannelISNMF(MultichannelNMFBase):
             # 8×128 tile: ~256× the payload in HBM traffic per read)
             state["covariance_planes"] = pair_products_planes(X)
         else:
+            # per-bin power equilibration (same exactly-invariant
+            # reparametrization as CovarianceISNMF, ``models/nmf.py``):
+            # real spectrogram powers span ~24 decades across bins, and the
+            # float32 EM drifts (non-monotone NLL) on the extremes.  The
+            # whole EM iteration is EXACTLY invariant under the joint
+            # per-bin rescaling (x, W, Σ_b) → (x/√s, W/s, Σ_b/s) with A, H
+            # unchanged (σ_s·a a^H + Σ_b and x^H Σx⁻¹ x are degree-(-1,-1)
+            # homogeneous, the MU/M-step ratios dimensionless), so running
+            # in the equilibrated frame changes nothing in exact arithmetic
+            # (oracle-tested); the eps floors become bin-relative
+            # (documented divergence from the absolute-eps float64 regime).
+            # The NLL's log-det picks up the exact constant C·log s_f per
+            # frame (restored in ``_nll_ozerov``); :meth:`_separate_ozerov`
+            # returns to the input frame via ·√s.
+            s = jnp.mean(jnp.sum(jnp.abs(X) ** 2, axis=0), axis=-1) / n_channels
+            s = jnp.maximum(s, jnp.finfo(s.dtype).tiny)  # (F,)
+            state["bin_scale"] = s
+            X = X / jnp.sqrt(s)[None, :, None].astype(X.dtype)
+            state["input"] = X
+            state["basis"] = state["basis"] / s[None, :, None].astype(
+                state["basis"].dtype
+            )
+            state["noise_covariance"] = state["noise_covariance"] / s[
+                :, None
+            ].astype(state["noise_covariance"].dtype)
             # R_xx = mean_t x x^H (``mnmf.py:357``) is a pure function of the
             # mixture — hoisted out of the EM scan as an invariant field
             # (it was C² full-plane products + frame means per iteration,
@@ -574,6 +612,23 @@ class MultichannelISNMF(MultichannelNMFBase):
             )
         raise ValueError("det closed forms cover C <= 3, got {}".format(C))
 
+    @classmethod
+    def _det_floored(cls, Sx):
+        """Determinant of the Hermitian component planes, floored at
+        ``100·eps_machine·Π_c Σx[c,c]`` (Hadamard bound: ``det ≤ Π diag`` for
+        PSD, so the floor is scale-correct per (bin, frame)).  The closed-form
+        det carries ~eps_machine·Πdiag cancellation noise and rounds to zero
+        or negative for near-singular float32 Σx (observed on sample-song:
+        1/det then NaNs the posteriors); at float64 the floor only engages
+        beyond condition ~1e13 — outside any healthy trajectory (documented
+        guard, no reference counterpart: its Ozerov path is unfinished)."""
+        det = cls._det_components(Sx)
+        prod_diag = Sx[0][0]
+        for c in range(1, len(Sx)):
+            prod_diag = prod_diag * Sx[c][c]
+        feps = float(jnp.finfo(det.dtype).eps)
+        return jnp.maximum(det, 100.0 * feps * prod_diag)
+
     def _collapsed_posteriors(self, state, Sx, sigma_s):
         """``M2 = A^H Σx⁻¹ A`` (Hermitian component planes, S×S) and
         ``v = A^H Σx⁻¹ x (S, F, T)`` — the only two E-step quantities any
@@ -587,7 +642,7 @@ class MultichannelISNMF(MultichannelNMFBase):
         X = state["input"]  # (C, F, T) — the x planes
         C, S = self.n_channels, self.n_sources
         adj = self._adjugate_components(Sx)
-        inv_det = 1.0 / self._det_components(Sx)  # real (F, T)
+        inv_det = 1.0 / self._det_floored(Sx)  # real (F, T)
         # t[s][d] = (A^H adj Σx)[s, d] — lazy
         t = [
             [
@@ -716,8 +771,29 @@ class MultichannelISNMF(MultichannelNMFBase):
         # closed-form S×S inverse (adjugate/det, exact for S ≤ 3) — the
         # batched LU solve on 2049 tiny (S, S) systems is a loop-shaped
         # kernel TPUs execute poorly; the closed form is two fused
-        # elementwise planes ops
-        A_new = R_xs @ batched_inv(R_ss)
+        # elementwise planes ops.  Trace-relative ridge: when a source dies
+        # at a bin (σ_s decaying geometrically — routine on real music at
+        # float32) R_ss goes numerically singular there and the adjugate
+        # inverse NaNs A for that bin; the cross-bin ``wsum`` normalization
+        # then poisons EVERY bin.  100·eps_machine·tr/S is invisible at
+        # float64 and keeps the inverse bounded at float32 (documented
+        # guard; the reference's Ozerov path is unfinished and unguarded).
+        S_eye = jnp.eye(R_ss.shape[-1], dtype=R_ss.dtype)
+        finfo = jnp.finfo(R_ss.real.dtype)
+        ridge = jnp.maximum(
+            100.0
+            * float(finfo.eps)
+            * jnp.trace(R_ss, axis1=-2, axis2=-1).real
+            / R_ss.shape[-1],
+            # absolute floor √tiny: a fully-died bin has R_ss ~ σ̃² deep in
+            # the denormal range, the relative ridge underflows with it, and
+            # det(R_ss) flushes to exactly zero → inf A (observed); √tiny²
+            # is the smallest normal determinant
+            float(np.sqrt(finfo.tiny)),
+        )
+        A_new = R_xs @ batched_inv(
+            R_ss + ridge[:, None, None].astype(R_ss.dtype) * S_eye
+        )
         A_newh = jnp.swapaxes(A_new, -2, -1).conj()
         R_xs_h = jnp.swapaxes(R_xs, -2, -1).conj()
         # the residual diagonal is PSD in exact arithmetic but can go
@@ -725,13 +801,21 @@ class MultichannelISNMF(MultichannelNMFBase):
         # indefinite Σx then NaNs the log-det; floored like every other
         # variance in the repo (the reference's unfinished Ozerov has no
         # guard, ``mnmf.py:360``)
+        residual = jnp.diagonal(
+            R_xx - A_new @ R_xs_h - R_xs @ A_newh + A_new @ R_ss @ A_newh,
+            axis1=-2,
+            axis2=-1,
+        ).real
+        # dtype-aware floor: in the equilibrated frame ‖Σx‖ ~ O(1) per bin,
+        # and the C=2 determinant Sx₀₀Sx₁₁ − |Sx₀₁|² carries ~machine-eps·‖Σx‖²
+        # cancellation noise — a 1e-12 noise floor is BELOW float32
+        # resolution, Σx rounds to exactly singular, and 1/det NaNs the EM
+        # (observed on sample-song at complex64).  100·eps_machine keeps
+        # det ≥ ~1e-5·‖Σx‖ at float32 (a −50 dB per-bin noise floor) while
+        # leaving the float64 semantics at the reference-style 1e-12
         sigma_b = floor_below(
-            jnp.diagonal(
-                R_xx - A_new @ R_xs_h - R_xs @ A_newh + A_new @ R_ss @ A_newh,
-                axis1=-2,
-                axis2=-1,
-            ).real,
-            self.eps,
+            residual,
+            max(self.eps, 100.0 * float(jnp.finfo(residual.dtype).eps)),
         )
         if getattr(self, "annealing", False):
             # simulated annealing (Ozerov & Févotte 2010): the noise
@@ -745,6 +829,11 @@ class MultichannelISNMF(MultichannelNMFBase):
             s0 = self.annealing_start * self._anneal_base
             s1 = self.annealing_end * self._anneal_base
             level = s0 * (s1 / s0) ** frac
+            # the schedule is defined in the INPUT power frame; divide by
+            # the per-bin equilibration scale to apply it in the working
+            # frame (see ``init_state``) — exact, so the annealed
+            # trajectory matches the unequilibrated one
+            level = level / state["bin_scale"][:, None].astype(sigma_b.dtype)
             sigma_b = jnp.maximum(sigma_b, level)
         # W update: mean_t U/H = W + W²·mean_t(H·B) EXACTLY (the division
         # by H cancels algebraically — no floored division needed at all,
@@ -781,9 +870,20 @@ class MultichannelISNMF(MultichannelNMFBase):
             # that the normalization changes the model and the NLL jumps
             # at every iteration
             scale = jnp.sqrt(jnp.sum(jnp.abs(A_new) ** 2, axis=1, keepdims=True))
+            # a fully-died source column has |a|² underflowing to exactly
+            # zero at float32 → a/0 = inf; √tiny leaves any live column
+            # untouched (documented guard)
+            scale = jnp.maximum(scale, float(np.sqrt(jnp.finfo(scale.dtype).tiny)))
             A_new = A_new / scale.astype(A_new.dtype)
             W_new = W_new * jnp.transpose(scale, (2, 0, 1)) ** 2
-            wsum = W_new.sum(axis=1)
+            # the bin-sum normalizer is computed in the INPUT frame
+            # (Σ_f W̃·s_f = Σ_f W): the cross-bin sum is the one step that
+            # is not per-bin equivariant, and weighting by the equilibration
+            # scale keeps the whole EM step exactly equivalent to the
+            # unequilibrated trajectory (oracle-tested)
+            wsum = (
+                W_new * state["bin_scale"][None, :, None].astype(W_new.dtype)
+            ).sum(axis=1)
             W_new = W_new / wsum[:, None, :]
             H_new = H_new * wsum[:, :, None]
 
@@ -807,12 +907,18 @@ class MultichannelISNMF(MultichannelNMFBase):
         C = self.n_channels
         Sx, _ = self._sigma_components(state)
         adj = self._adjugate_components(Sx)
-        det = self._det_components(Sx)
+        det = self._det_floored(Sx)
         quad = sum(
             (X[c].conj() * sum(adj[c][d] * X[d] for d in range(C))).real
             for c in range(C)
         ) / det
         logdet = jnp.log(jnp.abs(det))
+        # det is computed in the equilibrated frame (Σx/s per bin); restore
+        # the input-frame log-det exactly: log det(s·Σx̃) = log det Σx̃ +
+        # C·log s.  Per-(f, t) so the correction shards with bins/frames.
+        logdet = logdet + (
+            C * jnp.log(state["bin_scale"])[:, None]
+        ).astype(logdet.dtype)
         return (quad + logdet).sum()
 
     def _separate_ozerov(self, state):
@@ -820,7 +926,28 @@ class MultichannelISNMF(MultichannelNMFBase):
         duplicated ``A_sigma_s`` factor at ``:607`` is fixed here)."""
         Sx, sigma_s = self._sigma_components(state)
         _, v = self._collapsed_posteriors(state, Sx, sigma_s)
-        return v * sigma_s.astype(v.dtype)  # (S, F, T)
+        # posterior mean in the equilibrated frame; ·√s returns to the
+        # input frame (see ``init_state``)
+        root = jnp.sqrt(state["bin_scale"])[:, None].astype(v.dtype)
+        return v * sigma_s.astype(v.dtype) * root  # (S, F, T)
+
+    def _sync_attributes(self, state_packed):
+        # publish (and checkpoint) the Ozerov factors in the INPUT frame:
+        # the working state lives in the per-bin equilibrated frame (see
+        # ``init_state``), and ``init_state`` re-equilibrates whatever a
+        # warm start passes in — attributes must round-trip
+        host_state = super()._sync_attributes(state_packed)
+        if self.author.lower() != "sawada" and "bin_scale" in host_state:
+            s = np.asarray(host_state["bin_scale"])
+            if "basis" in host_state:
+                self.basis = np.asarray(host_state["basis"]) * s[None, :, None]
+                host_state["basis"] = self.basis
+            if "noise_covariance" in host_state:
+                self.noise_covariance = (
+                    np.asarray(host_state["noise_covariance"]) * s[:, None]
+                )
+                host_state["noise_covariance"] = self.noise_covariance
+        return host_state
 
     # ------------------------------------------------------------------ #
     # every stage runs with float32 matmul precision: TPU's default bf16

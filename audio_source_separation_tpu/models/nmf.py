@@ -673,5 +673,15 @@ class MultichannelISNMF(IterativeSolver):
         )
         return state["spatial"], basis, state["activation"]
 
+    def _sync_attributes(self, state_packed):
+        # publish/checkpoint the basis in the INPUT frame — ``init_state``
+        # re-equilibrates warm-start kwargs, so attributes must round-trip
+        host_state = super()._sync_attributes(state_packed)
+        if "bin_scale" in host_state and "basis" in host_state:
+            s = np.asarray(host_state["bin_scale"])
+            self.basis = np.asarray(host_state["basis"]) * s[:, None]
+            host_state["basis"] = self.basis
+        return host_state
+
     def __call__(self, target, iteration=100, **kwargs):
         return super().__call__(np.asarray(target), iteration=iteration, **kwargs)

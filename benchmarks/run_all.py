@@ -549,6 +549,37 @@ def main():
             "Data-parallel throughput (batched AuxIVA-IP, vmapped scan,",
             "{}): **{:.0f} mixtures/s** at batch 16.".format(dp_config, dp_rate),
         ]
+    # dp×tp mesh-shape sweep (benchmarks/mesh_sweep.py artifact, virtual mesh)
+    mesh_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "MESH_SWEEP.json"
+    )
+    if os.path.exists(mesh_path):
+        with open(mesh_path) as f:
+            mesh_data = json.load(f)
+        lines += [
+            "",
+            "## Mesh-shape sweep (dp × tp, {}-device virtual mesh)".format(
+                mesh_data.get("n_devices", 8)
+            ),
+            "",
+            "Production `batch_separate` scan over every 2-D factorization of",
+            "the mesh (`mesh_sweep.py`).  Virtual CPU devices: these rows",
+            "prove each sharding compiles/executes with finite results and",
+            "bound the GSPMD partitioning overhead — they are NOT TPU",
+            "throughput (one host serves all 8 devices; the on-chip DP table",
+            "above carries the measured scaling).",
+            "",
+            "| Solver | dp×tp | cold s | warm s | finite |",
+            "|---|---|---|---|---|",
+        ]
+        for r in mesh_data["rows"]:
+            lines.append(
+                "| {} | {}×{} | {} | {} | {} |".format(
+                    r["solver"], r["dp"], r["tp"], r["cold_s"], r["warm_s"],
+                    "yes" if r["finite"] else "NO",
+                )
+            )
+
     # round-4 barrier / planes-layout A/B (benchmarks/planes_ab.py artifact)
     planes_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "PLANES_AB.json"

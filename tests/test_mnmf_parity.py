@@ -356,11 +356,18 @@ def test_ozerov_update_matches_float64_oracle(rng):
     A_ref, sb_ref, W_ref, H_ref = oracle_ozerov_update(
         X, A0.copy(), sb0.copy(), W0.copy(), H0.copy(), normalize=solver.normalize
     )
+    # the solver works in the per-bin equilibrated frame (W/s, Σ_b/s); the
+    # EM step is exactly invariant, so mapping the state back with ·s must
+    # reproduce the input-frame oracle — this asserts BOTH the step math
+    # and the exactness of the reparametrization
+    s = np.asarray(new_state["bin_scale"])
     np.testing.assert_allclose(np.asarray(new_state["mix_filter"]), A_ref, atol=1e-9)
     np.testing.assert_allclose(
-        np.asarray(new_state["noise_covariance"]), sb_ref, atol=1e-9
+        np.asarray(new_state["noise_covariance"]) * s[:, None], sb_ref, atol=1e-9
     )
-    np.testing.assert_allclose(np.asarray(new_state["basis"]), W_ref, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(new_state["basis"]) * s[None, :, None], W_ref, atol=1e-9
+    )
     np.testing.assert_allclose(np.asarray(new_state["activation"]), H_ref, atol=1e-9)
 
 
@@ -391,8 +398,11 @@ def test_ozerov_three_channel_update_matches_float64_oracle(rng):
         normalize=solver.normalize,
     )
     np.testing.assert_allclose(np.asarray(new_state["mix_filter"]), A_ref, atol=1e-9)
+    s = np.asarray(new_state["bin_scale"])
     np.testing.assert_allclose(
-        np.asarray(new_state["noise_covariance"]), sb_ref, atol=1e-9
+        np.asarray(new_state["noise_covariance"]) * s[:, None], sb_ref, atol=1e-9
     )
-    np.testing.assert_allclose(np.asarray(new_state["basis"]), W_ref, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(new_state["basis"]) * s[None, :, None], W_ref, atol=1e-9
+    )
     np.testing.assert_allclose(np.asarray(new_state["activation"]), H_ref, atol=1e-9)

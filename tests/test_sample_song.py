@@ -213,3 +213,34 @@ def test_gauss_ipsdta_kondo_sample_song_reference_parity(song):
 
     np.testing.assert_allclose(np.asarray(ours.loss), np.asarray(ref.loss), rtol=1e-5)
     np.testing.assert_allclose(Y, Yr, atol=1e-5 * np.abs(Yr).max())
+
+
+def test_ozerov_float32_dynamic_range(song):
+    """Round-5 regression: Ozerov EM at complex64 on real music.  Before the
+    per-bin equilibration + dtype-aware guards (``models/mnmf.py``:
+    equilibrated frame, power-shaped init, Hadamard-floored determinants,
+    trace-ridged R_ss inverse, √tiny-floored steering norm) this NaN'd via
+    three independent float32 routes (singular Σx determinants, a dying
+    source's R_ss underflowing, and a dead steering column normalizing by
+    zero).  Locks: finite NLL/outputs over a long run, and no
+    catastrophic loss spike (bounded relative increase)."""
+    import warnings
+
+    from audio_source_separation_tpu.models import MultichannelISNMF
+
+    x, _, _ = song
+    X = np.asarray(stft(x, fft_size=4096, hop_size=2048)).astype(np.complex64)
+
+    np.random.seed(111)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        solver = MultichannelISNMF(n_basis=8, author="Ozerov")
+    Y = solver(X, iteration=60)
+    loss = np.asarray(solver.loss)
+    assert np.isfinite(loss).all()
+    assert np.isfinite(np.asarray(Y)).all()
+    assert loss[-1] < loss[0]
+    d = np.diff(loss)
+    if (d > 0).any():
+        # f32 EM jitter is tolerated; the pre-fix ~1e13 spikes are not
+        assert d.max() < 0.15 * (loss.max() - loss.min())
