@@ -81,7 +81,12 @@ def _reference_modules():
     )
     from _reference_compat import legacy_solve_shim
 
-    legacy_solve_shim(REFERENCE_SRC).__enter__()
+    # keep a live reference: an unreferenced generator context manager is
+    # garbage-collected immediately after __enter__, which closes the
+    # generator and runs its finally block (removing the path again)
+    global _SHIM_CM
+    _SHIM_CM = legacy_solve_shim(REFERENCE_SRC)
+    _SHIM_CM.__enter__()
     import bss.fdica as ref_fdica
     import sss.idlma as ref_idlma
     import bss.ilrma as ref_ilrma

@@ -38,7 +38,12 @@ def legacy_solve_shim(reference_src=REFERENCE_SRC):
         yield
     finally:
         np.linalg.solve = original_solve
-        sys.path.remove(reference_src)
+        try:
+            sys.path.remove(reference_src)
+        except (ValueError, AttributeError, TypeError):
+            # interpreter shutdown: sys.path may already be torn down when a
+            # deliberately-never-exited shim is finalized at exit
+            pass
 
 
 class reference_bss:
