@@ -273,9 +273,16 @@ class IPSDTABase(IVABase):
         self.n_basis = n_basis
         self.normalize = normalize
         self.reference_id = reference_id
-        # planes-layout source step (round-4 experiment; flip per instance
-        # for A/B — enabled by default only where measured to win)
-        self.source_planes = False
+        # planes-layout source/fixed-point steps (bit-parity tested toggle;
+        # applies when block_size ≤ 3).  Round 4 gated this OFF on the
+        # compiled-body cost model (planes ~double modeled bytes); the
+        # round-5 on-chip A/B (benchmarks/planes_ab.py, PLANES_AB.json)
+        # measured planes FASTER for every author at the canonical
+        # 1024-block geometry — Kondo 82.5 → 114.3 iters/s (1.39×),
+        # Ikeshita 73.3 → 94.9 (1.29×), tIPSDTA 69.8 → 74.9 (1.07×) —
+        # another cost-model-lies datum (it cannot see tile-padding and
+        # layout-copy costs of the (B, B)-minor batched dots).  Default ON.
+        self.source_planes = True
 
 
 class GaussIPSDTA(IPSDTABase):
