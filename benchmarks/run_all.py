@@ -269,7 +269,7 @@ def main():
         ("ComplexEUCNMF (K=10, 1 ch)", 300, lambda: ComplexEUCNMF(n_basis=10), X[0]),
         ("EUCNTF (K=10)", 400, lambda: EUCNTF(n_basis=10), P3),
         ("CovarianceISNMF (K=10)", 50, lambda: CovarianceISNMF(n_basis=10), cov_target),
-        ("LDPSDTF (K=2, B=64)", 20, lambda: LDPSDTF(n_basis=2), gram),
+        ("LDPSDTF (K=2, B=64)", 60, lambda: LDPSDTF(n_basis=2), gram),
     ]
     for name, iters, factory, target in factor_configs:
         bench_one(name, iters, factory, target)
@@ -447,18 +447,24 @@ def main():
         "  adjugate inverse and X̂⁻¹XX̂⁻¹ (each feeds 2-3 downstream",
         "  contractions; the Ozerov E/M multi-consumer lever) — same",
         "  semantics, measured on this run's row.",
-        "- **IPSDTA planes source/fixed-point steps** (round 4): the",
+        "- **IPSDTA planes source/fixed-point steps**: the",
         "  (S, T, n_blocks, B, B) source chains and the fixed-point G",
         "  statistics have planes-layout duals (`source_planes` toggle,",
-        "  bit-parity tested).  XLA's compiled-body cost model rules them",
-        "  out: source_planes=True roughly DOUBLES both modeled bytes and",
-        "  FLOPs (Kondo 6,324 → 11,113 MB/iter, Ikeshita 3,951 → 7,310,",
-        "  tIPSDTA 6,682 → 11,041 — the B² plane unrolling re-reads operand",
-        "  planes per entry where the matrix path's batched dots read them",
-        "  once), and the matrix-path rows already run at ~the modeled",
-        "  traffic over copy bandwidth, i.e. the chip is NOT paying a tile",
-        "  padding penalty for the (B, B)-minor buffers inside this body.",
-        "  The gate therefore stays off by default.",
+        "  bit-parity tested).  Round 4 gated them OFF on the compiled-body",
+        "  cost model (planes ~double modeled bytes/FLOPs); the round-5",
+        "  ON-CHIP A/B (`planes_ab.py`, table below) measures planes FASTER",
+        "  for every author — Kondo 1.39×, Ikeshita 1.29×, tIPSDTA 1.07× —",
+        "  the model cannot see the tile-padding/layout-copy cost of the",
+        "  (B, B)-minor batched dots.  Default ON since round 5.",
+        "- **Round-5 levers**: LDPSDTF replaces the reference's 8×",
+        "  batched-eigvalsh + 3× LU chain with a K=2 matrix-PENCIL path",
+        "  (one B×B generalized eigendecomposition per iteration",
+        "  simultaneously diagonalizes every frame; no (T, B, B) eigh at",
+        "  all — `models/psdtf.py`).  ComplexEUCNMF carries the phase as",
+        "  unit-phasor planes (no per-iteration exp/angle transcendental",
+        "  sweeps) and collapses the /Beta quotients into two GEMMs",
+        "  (`models/nmf.py`).  Ozerov runs in a per-bin equilibrated frame",
+        "  (float32-robust on real music; exactly invariant, oracle-tested).",
         "- **Compact Hermitian planes** (late round 4): a Hermitian",
         "  (C, C, F, T) field stores as C² REAL planes (diagonals + re/im",
         "  per off-diagonal; `ops/fast_linalg.py` compact closed forms) —",
