@@ -389,14 +389,13 @@ class ComplexEUCNMF(IterativeSolver):
         Ure, Uim = state["phase_cos"], state["phase_sin"]
         regularizer, p, eps = self.regularizer, self.p, self.eps
 
-        TV = T[:, :, None] * V[None, :, :]
-        TVsum = jnp.maximum(TV.sum(axis=1), eps)  # (F, T)
-        Beta = jnp.maximum(TV / TVsum[:, None, :], eps)
+        # ΣTV is a plain GEMM; the (F, K, T) product TV never materializes
+        TVsum = jnp.maximum(T @ V, eps)  # (F, T)
 
-        Xre = TV * Ure
-        Xim = TV * Uim
-        ZXre = Z.real - Xre.sum(axis=1)
-        ZXim = Z.imag - Xim.sum(axis=1)
+        VUre = V[None, :, :] * Ure
+        VUim = V[None, :, :] * Uim
+        ZXre = Z.real - jnp.einsum("fk,fkt->ft", T, VUre)
+        ZXim = Z.imag - jnp.einsum("fk,fkt->ft", T, VUim)
         # re = Re(ZX* · e^{iΦ}) — the only phase-dependent part of the
         # reference's Re = Re(Z_bar* · e^{iΦ}) = TV + Beta·re
         re = ZXre[:, None, :] * Ure + ZXim[:, None, :] * Uim
@@ -419,9 +418,14 @@ class ComplexEUCNMF(IterativeSolver):
         )
         V = (G_V + R_T) / denominator
 
-        # phase: e^{i·angle(Z_bar)} = Z_bar / |Z_bar| (exp/atan2-free)
-        Zbre = Xre + Beta * ZXre[:, None, :]
-        Zbim = Xim + Beta * ZXim[:, None, :]
+        # phase: Z_bar = TV·(U + ZX/ΣTV), and the positive scalar TV cancels
+        # in Z_bar/|Z_bar| — so the new phasor normalizes U + ZX/ΣTV
+        # directly (no Beta tensor, no Z_bar planes; exact away from the
+        # reference's Beta ≥ eps floor, documented above)
+        Cre = ZXre / TVsum
+        Cim = ZXim / TVsum
+        Zbre = Ure + Cre[:, None, :]
+        Zbim = Uim + Cim[:, None, :]
         mag = jnp.sqrt(Zbre**2 + Zbim**2)
         safe = mag > 0
         Ure = jnp.where(safe, Zbre / jnp.where(safe, mag, 1), 1.0)
