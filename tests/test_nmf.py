@@ -272,3 +272,33 @@ def test_complex_nmf_trajectory_matches_reference_math(rng):
     np.testing.assert_allclose(np.asarray(T), T_ref, atol=1e-8)
     np.testing.assert_allclose(np.asarray(V), V_ref, atol=1e-8)
     np.testing.assert_allclose(np.asarray(Phi), Phi_ref, atol=1e-8)
+
+
+def test_ldpsdtf_pencil_matches_generic_path(rng):
+    """The K=2 matrix-pencil fast path (round 5) must track the generic
+    eigh path: same trajectory up to the documented ridge-semantics
+    differences (~1e-12 relative per iteration)."""
+    B, T, K = 8, 10, 2
+    A1 = rng.randn(B, B)
+    A2 = rng.randn(B, B)
+    H = np.abs(rng.randn(K, T)) + 0.2
+    X = np.einsum(
+        "kij,kt->ijt",
+        np.stack([A1 @ A1.T + 0.5 * np.eye(B), A2 @ A2.T + 0.5 * np.eye(B)]),
+        H,
+    )
+
+    class GenericLDPSDTF(LDPSDTF):
+        _use_pencil = property(lambda self: False)
+
+    np.random.seed(111)
+    model = LDPSDTF(n_basis=K)
+    V_p, H_p = model(X, iteration=10)
+    loss_p = np.asarray(model.loss)
+    np.random.seed(111)
+    generic = GenericLDPSDTF(n_basis=K)
+    V_g, H_g = generic(X, iteration=10)
+    loss_g = np.asarray(generic.loss)
+    np.testing.assert_allclose(np.asarray(V_p), np.asarray(V_g), rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(H_p), np.asarray(H_g), rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(loss_p, loss_g, rtol=1e-6)
