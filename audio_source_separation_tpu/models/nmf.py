@@ -375,42 +375,47 @@ class ComplexEUCNMF(IterativeSolver):
         return state_kwargs
 
     def init_state(self, target, basis=None, activation=None, phase=None):
+        # phasor planes live as (K, F, T): with the basis axis LEADING the
+        # tile covers the big (F, T) axes — an (F, K, T) layout pads K = 10
+        # into 16 sublanes, a 1.6× HBM tax on every read of every plane
+        # (the repo-wide planes rule)
+        phase_kft = jnp.transpose(phase, (1, 0, 2))
         return {
             "target": target,
             "basis": basis,
             "activation": activation,
-            "phase_cos": jnp.cos(phase),
-            "phase_sin": jnp.sin(phase),
+            "phase_cos": jnp.cos(phase_kft),
+            "phase_sin": jnp.sin(phase_kft),
         }
 
     def update_state(self, state):
         Z = state["target"]
         T, V = state["basis"], state["activation"]
-        Ure, Uim = state["phase_cos"], state["phase_sin"]
+        Ure, Uim = state["phase_cos"], state["phase_sin"]  # (K, F, T)
         regularizer, p, eps = self.regularizer, self.p, self.eps
 
-        # ΣTV is a plain GEMM; the (F, K, T) product TV never materializes
+        # ΣTV is a plain GEMM; the (K, F, T) product TV never materializes
         TVsum = jnp.maximum(T @ V, eps)  # (F, T)
 
-        VUre = V[None, :, :] * Ure
-        VUim = V[None, :, :] * Uim
-        ZXre = Z.real - jnp.einsum("fk,fkt->ft", T, VUre)
-        ZXim = Z.imag - jnp.einsum("fk,fkt->ft", T, VUim)
+        VUre = V[:, None, :] * Ure
+        VUim = V[:, None, :] * Uim
+        ZXre = Z.real - jnp.einsum("fk,kft->ft", T, VUre)
+        ZXim = Z.imag - jnp.einsum("fk,kft->ft", T, VUim)
         # re = Re(ZX* · e^{iΦ}) — the only phase-dependent part of the
         # reference's Re = Re(Z_bar* · e^{iΦ}) = TV + Beta·re
-        re = ZXre[:, None, :] * Ure + ZXim[:, None, :] * Uim
+        re = ZXre[None, :, :] * Ure + ZXim[None, :, :] * Uim
         V_bar = jnp.maximum(V, eps)
 
         # basis: (Σ_t V·ΣTV + V·re) / (Σ_t V·ΣTV / T)
         G_T = TVsum @ V.T  # (F, K)
-        R_V = jnp.einsum("kt,fkt->fk", V, re)
+        R_V = jnp.einsum("kt,kft->fk", V, re)
         T_new = (G_T + R_V) / jnp.maximum(
             G_T / jnp.maximum(T, eps * eps), eps
         )
 
         # activation (with the updated basis, like the reference)
         G_V = T_new.T @ TVsum  # (K, T)
-        R_T = jnp.einsum("fk,fkt->kt", T_new, re)
+        R_T = jnp.einsum("fk,kft->kt", T_new, re)
         G3 = (T_new**2 / jnp.maximum(T, eps * eps)).T @ TVsum
         denominator = jnp.maximum(
             G3 / jnp.maximum(V, eps * eps) + regularizer * p * V_bar ** (p - 2),
@@ -424,8 +429,8 @@ class ComplexEUCNMF(IterativeSolver):
         # reference's Beta ≥ eps floor, documented above)
         Cre = ZXre / TVsum
         Cim = ZXim / TVsum
-        Zbre = Ure + Cre[:, None, :]
-        Zbim = Uim + Cim[:, None, :]
+        Zbre = Ure + Cre[None, :, :]
+        Zbim = Uim + Cim[None, :, :]
         mag = jnp.sqrt(Zbre**2 + Zbim**2)
         safe = mag > 0
         Ure = jnp.where(safe, Zbre / jnp.where(safe, mag, 1), 1.0)
@@ -443,16 +448,16 @@ class ComplexEUCNMF(IterativeSolver):
 
     def nll(self, state):
         T, V = state["basis"], state["activation"]
-        VUre = V[None, :, :] * state["phase_cos"]
-        VUim = V[None, :, :] * state["phase_sin"]
-        recon_re = jnp.einsum("fk,fkt->ft", T, VUre)
-        recon_im = jnp.einsum("fk,fkt->ft", T, VUim)
+        VUre = V[:, None, :] * state["phase_cos"]
+        VUim = V[:, None, :] * state["phase_sin"]
+        recon_re = jnp.einsum("fk,kft->ft", T, VUre)
+        recon_im = jnp.einsum("fk,kft->ft", T, VUim)
         Z = state["target"]
         return ((recon_re - Z.real) ** 2 + (recon_im - Z.imag) ** 2).sum()
 
     def finalize(self, state):
         phase = jnp.arctan2(state["phase_sin"], state["phase_cos"])
-        return state["basis"], state["activation"], phase
+        return state["basis"], state["activation"], jnp.transpose(phase, (1, 0, 2))
 
     def __call__(self, target, iteration=100, **kwargs):
         return super().__call__(np.asarray(target), iteration=iteration, **kwargs)
