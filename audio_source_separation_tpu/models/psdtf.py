@@ -59,12 +59,21 @@ def _sym(X):
     return (X + (Xt.conj() if jnp.iscomplexobj(X) else Xt)) / 2
 
 
+def _dtype_eps(eps, dtype):
+    """Dtype-aware guard strength: the reference's 1e-12 relative ridge is
+    BELOW float32 roundoff (machine eps 1.2e-7), so Cholesky/pencil chains
+    can see indefinite matrices at f32 — floor the ridge at 100·eps_machine
+    (the Ozerov/CovarianceISNMF convention; a no-op at float64)."""
+    return max(eps, 100 * float(jnp.finfo(dtype).eps))
+
+
 def _ridge(X, eps):
     """Symmetrize + ``eps·trace`` identity ridge — the reference ``to_PSD``
     for matrices that are PSD by construction (``delta = 0``)."""
     X = _sym(X)
     n = X.shape[-1]
     trace = jnp.trace(X, axis1=-2, axis2=-1).real
+    eps = _dtype_eps(eps, X.dtype)
     return X + (eps * trace)[..., None, None] * jnp.eye(n, dtype=X.dtype)
 
 
@@ -79,7 +88,7 @@ def _eigh_psd(Y, eps):
     w, v = jnp.linalg.eigh(Ys)
     delta = jnp.minimum(jnp.min(w, axis=-1), 0)
     trace = jnp.trace(Ys, axis1=-2, axis2=-1).real
-    return w + (eps * trace - delta)[..., None], v
+    return w + (_dtype_eps(eps, Y.dtype) * trace - delta)[..., None], v
 
 
 def _inv_from_eigh(w, v, eps):
@@ -88,14 +97,14 @@ def _inv_from_eigh(w, v, eps):
     in the same eigenbasis, so the second guard's shift is zero and its ridge
     is ``eps·Σ(1/w)``."""
     wi = 1 / w
-    wi = wi + eps * jnp.sum(wi, axis=-1, keepdims=True)
+    wi = wi + _dtype_eps(eps, w.dtype) * jnp.sum(wi, axis=-1, keepdims=True)
     vh = jnp.swapaxes(v, -2, -1).conj()
     return _sym((v * wi[..., None, :]) @ vh)
 
 
 class PSDTFBase(IterativeSolver):
     state_fields = ("basis", "activation")
-    invariant_fields = ("target", "target_t", "target_logdet")
+    invariant_fields = ("target_t", "target_logdet", "frame_scale")
     record_initial_loss = False
 
     def __init__(self, n_basis=2, normalize=True, eps=EPS):
@@ -137,13 +146,29 @@ class PSDTFBase(IterativeSolver):
         if self.normalize:
             basis, activation = self._normalize(basis, activation)
         Xt = jnp.transpose(target, (2, 0, 1))
+        # per-frame trace equilibration: time-domain Gram frames of real
+        # music span the signal's dynamic range, and the Cholesky/pencil
+        # chains overflow or go indefinite at float32 on the extremes
+        # (the CovarianceISNMF/Ozerov recipe).  The MM updates and the
+        # log-det divergence are EXACTLY invariant under the joint per-frame
+        # reparametrization (X_t, H_·t) → (X_t/s_t, H_·t/s_t) — the
+        # eps ridges/floors move from absolute to frame-relative (documented
+        # divergence from the reference's float64 regime; float64 reference
+        # parity is unchanged).  :meth:`finalize` restores ``H·s``.
+        n = Xt.shape[-1]
+        s = jnp.trace(Xt, axis1=-2, axis2=-1).real / n
+        s = jnp.maximum(s, jnp.finfo(s.dtype).tiny)
+        Xt = Xt / s[:, None, None].astype(Xt.dtype)
+        activation = activation / s[None, :].astype(activation.dtype)
         # per-frame log-det of the (fixed) target, floored like the loss
         # (``criterion/divergence.py:83-105``) — loop-invariant
-        eig_x = jnp.maximum(batched_eigvalsh(_sym(Xt)).real, self.eps)
+        eig_x = jnp.maximum(
+            batched_eigvalsh(_sym(Xt)).real, _dtype_eps(self.eps, Xt.dtype)
+        )
         state = {
-            "target": target,
             "target_t": Xt,
             "target_logdet": jnp.sum(jnp.log(eig_x), axis=-1),
+            "frame_scale": s,
             "basis": basis,
             "activation": activation,
         }
@@ -152,6 +177,8 @@ class PSDTFBase(IterativeSolver):
 
     def reconstruct(self, state):
         V, H = state["basis"], state["activation"]
+        if "frame_scale" in state:  # leave the equilibration frame
+            H = H * state["frame_scale"][None, :].astype(H.dtype)
         VH = jnp.einsum("ijk,kt->tij", V.astype(jnp.result_type(V, H)), H.astype(jnp.result_type(V, H)))
         return to_psd(VH, eps=self.eps)
 
@@ -165,11 +192,28 @@ class PSDTFBase(IterativeSolver):
         Xv = X.astype(v.dtype) @ v
         quad = jnp.einsum("tbi,tbi->ti", v.conj(), Xv).real
         trace = jnp.sum(quad / w, axis=-1)
-        logdet_y = jnp.sum(jnp.log(jnp.maximum(w, self.eps)), axis=-1)
+        logdet_y = jnp.sum(
+            jnp.log(jnp.maximum(w, _dtype_eps(self.eps, w.dtype))), axis=-1
+        )
         return jnp.sum(trace - state["target_logdet"] + logdet_y - n)
 
     def finalize(self, state):
-        return state["basis"], state["activation"]
+        # leave the per-frame equilibration frame (see init_state)
+        H = state["activation"] * state["frame_scale"][None, :].astype(
+            state["activation"].dtype
+        )
+        return state["basis"], H
+
+    def _sync_attributes(self, state_packed):
+        # publish/checkpoint the activation in the INPUT frame —
+        # ``init_state`` re-equilibrates warm-start kwargs, so attributes
+        # must round-trip
+        host_state = super()._sync_attributes(state_packed)
+        if "frame_scale" in host_state and "activation" in host_state:
+            s = np.asarray(host_state["frame_scale"])
+            self.activation = np.asarray(host_state["activation"]) * s[None, :]
+            host_state["activation"] = self.activation
+        return host_state
 
     def __call__(self, target, iteration=100, **kwargs):
         return super().__call__(np.asarray(target), iteration=iteration, **kwargs)
@@ -187,6 +231,11 @@ class LDPSDTF(PSDTFBase):
     and the (T, B, B) batched eigendecomposition disappears entirely (the
     dominant cost on TPU, where eigh is an iterative QDWH kernel: measured
     6.3 iters/s eigh-path vs the reference chain's 2.3 at B = 64).
+    The activation trace ratios are diagonal in the updated pencil frame
+    (``tr(Y⁻¹V_kY⁻¹X)`` needs only ``diag(GᴴXG)``), and trace
+    normalization rescales the pencil exactly (``G√c₁, d·c₁/c₂``) — one
+    factorization per iteration serves the basis step, the activation
+    step, the carry, and the next loss.
     Documented divergences (float64-parity-tested ≤ reference tolerance):
     the ``to_PSD`` ridges on ``Y``/``Y⁻¹`` (``psdtf.py:129-131``,
     ``eps·trace ≈ 1e-12`` relative) are replaced by an equivalent
@@ -236,7 +285,7 @@ class LDPSDTF(PSDTFBase):
         H = activation.real if jnp.iscomplexobj(activation) else activation
         w = H[0][:, None] + H[1][:, None] * d[None, :]
         floor = jnp.maximum(
-            self.eps * jnp.sum(w, axis=-1, keepdims=True),
+            _dtype_eps(self.eps, w.dtype) * jnp.sum(w, axis=-1, keepdims=True),
             jnp.finfo(w.dtype).tiny,
         )
         return jnp.maximum(w, floor)
@@ -268,25 +317,43 @@ class LDPSDTF(PSDTFBase):
         LVPVL = _ridge(Lh @ V @ P @ V @ L, eps)
         w, u = jnp.linalg.eigh(LVPVL)
         w = jnp.sqrt(jnp.maximum(w, 0))
-        w = w + eps * jnp.sum(w, axis=-1, keepdims=True)
+        w = w + _dtype_eps(eps, w.dtype) * jnp.sum(w, axis=-1, keepdims=True)
         uh = jnp.swapaxes(u, -2, -1).conj()
         inv_sqrt = (u * (1 / w)[..., None, :]) @ uh
         V = _ridge(V @ L @ inv_sqrt @ Lh @ V, eps)
         basis = jnp.transpose(V, (1, 2, 0))
 
         # --- activation (trace-ratio rule, ``psdtf.py:156-176``) ---
-        G2, d2, _ = self._pencil(basis)
-        inv_Y = self._pencil_inv(G2, self._pencil_w(H, d2))
-        M = inv_Y @ X.astype(inv_Y.dtype) @ inv_Y
-        num = jnp.einsum("kij,tji->kt", V, M).real
-        den = jnp.einsum("kij,tji->kt", V, inv_Y).real
+        # Diagonal in the updated pencil frame: with GᴴV₁G = I, GᴴV₂G = D,
+        # Y⁻¹V₁Y⁻¹ = G W⁻² Gᴴ and Y⁻¹V₂Y⁻¹ = G (D·W⁻²) Gᴴ, so
+        # ``tr(Y⁻¹V_kY⁻¹X_t)`` needs only ``x̃ = diag(GᴴX_tG)`` and
+        # ``tr(Y⁻¹V_k)`` only ``Σ 1/w`` / ``Σ d/w`` — the second per-frame
+        # (T, B, B) inverse of the reference chain never materializes.
+        G2, d2, ld2 = self._pencil(basis)
+        w2 = self._pencil_w(H, d2)  # (T, B)
+        XG = X.astype(G2.dtype) @ G2
+        xdiag = jnp.einsum("bi,tbi->ti", G2.conj(), XG).real
+        r = (xdiag / w2) / w2  # two divisions: w² itself can underflow f32
+        num = jnp.stack([jnp.sum(r, axis=-1), jnp.sum(r * d2, axis=-1)])
+        den = jnp.stack(
+            [jnp.sum(1 / w2, axis=-1), jnp.sum(d2 / w2, axis=-1)]
+        )
         num = jnp.maximum(num, 0)
         den = jnp.maximum(den, eps)
         H = H * jnp.sqrt(num / den)
 
         if self.normalize:
-            basis, H = self._normalize(basis, H)
-        Gn, dn, ldn = self._pencil(basis)
+            # trace normalization rescales the pencil EXACTLY — V₁/c₁, V₂/c₂
+            # gives G·√c₁, d·c₁/c₂, logdet − B·log c₁ — so the third
+            # factorization per iteration collapses to scalar scaling
+            c = jnp.trace(V, axis1=-2, axis2=-1).real  # (K,)
+            basis = jnp.transpose(V / c[:, None, None], (1, 2, 0))
+            H = H * c[:, None]
+            Gn = G2 * jnp.sqrt(c[0]).astype(G2.dtype)
+            dn = d2 * (c[0] / c[1])
+            ldn = ld2 - V.shape[-1] * jnp.log(c[0])
+        else:
+            Gn, dn, ldn = G2, d2, ld2
         return dict(
             state,
             basis=basis,
@@ -345,7 +412,7 @@ class LDPSDTF(PSDTFBase):
         w = jnp.sqrt(jnp.maximum(w, 0))
         # to_PSD(√LVPVL) then invert (``psdtf.py:146-149``): the sqrt is PSD
         # by construction, so the guard is the eps·Σw ridge in the basis u
-        w = w + eps * jnp.sum(w, axis=-1, keepdims=True)
+        w = w + _dtype_eps(eps, w.dtype) * jnp.sum(w, axis=-1, keepdims=True)
         uh = jnp.swapaxes(u, -2, -1).conj()
         inv_sqrt = (u * (1 / w)[..., None, :]) @ uh
         V = _ridge(V @ L @ inv_sqrt @ Lh @ V, eps)

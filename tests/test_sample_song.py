@@ -244,3 +244,32 @@ def test_ozerov_float32_dynamic_range(song):
     if (d > 0).any():
         # f32 EM jitter is tolerated; the pre-fix ~1e13 spikes are not
         assert d.max() < 0.15 * (loss.max() - loss.min())
+
+
+def test_ldpsdtf_float32_dynamic_range(song):
+    """Round-5 regression: LD-PSDTF at float32 on real-music Gram frames.
+    Time-domain frame Grams span the song's dynamic range; before the
+    per-frame trace equilibration + dtype-aware ridges (``models/psdtf.py``)
+    the Cholesky/pencil chains NaN'd within ~15 iterations (the reference's
+    1e-12 relative ridge is below float32 roundoff).  Locks: finite,
+    non-increasing NLL and finite factors over a long f32 run."""
+    from audio_source_separation_tpu.models import LDPSDTF
+
+    x, _, _ = song
+    B, hop, T = 32, 32, 200
+    frames = np.stack([x[0, i * hop : i * hop + B] for i in range(T)])
+    gram = np.einsum("ti,tj->ijt", frames, frames) * 1e4
+    gram = (gram + 1e-3 * np.eye(B)[:, :, None]).astype(np.float32)
+
+    np.random.seed(111)
+    model = LDPSDTF(n_basis=2)
+    kwargs = model.prepare_state_kwargs(gram, {})
+    kwargs = {k: np.asarray(v, dtype=np.float32) for k, v in kwargs.items()}
+    V, H = model(gram, iteration=50, **kwargs)
+    loss = np.asarray(model.loss)
+    assert np.isfinite(loss).all()
+    assert np.isfinite(np.asarray(V)).all()
+    assert np.isfinite(np.asarray(H)).all()
+    assert loss[-1] < loss[0]
+    d = np.diff(loss)
+    assert (d <= np.abs(loss[:-1]) * 1e-5).all()
