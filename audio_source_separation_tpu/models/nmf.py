@@ -359,6 +359,15 @@ class ComplexEUCNMF(IterativeSolver):
         self.regularizer = regularizer
         self.p = p
 
+    def field_axes(self):
+        # the (K, F, T) phasor planes shard with the target; the basis/
+        # activation GEMM reductions psum across shards like NMFbase's
+        return dict(
+            super().field_axes(),
+            phase_cos={"bins": 1, "frames": 2},
+            phase_sin={"bins": 1, "frames": 2},
+        )
+
     def prepare_state_kwargs(self, target, state_kwargs):
         n_bins, n_frames = target.shape
         if "basis" not in state_kwargs:

@@ -112,6 +112,24 @@ class PSDTFBase(IterativeSolver):
         self.n_basis = n_basis
         self.normalize = normalize
 
+    def field_axes(self):
+        """Shardable axes (see :meth:`IterativeSolver.use_mesh`): frames
+        mode is the sequence-parallel analogue — every (T, B, B)-batched op
+        is frame-independent; the Σ_t sufficient statistics (P, Q) and the
+        NLL reduce over the shard axis, which GSPMD lowers to psums, and the
+        B×B pencil/Cholesky/eigh factorizations run replicated.  Bins mode
+        does not apply (the tap axes are coupled), so every field replicates
+        there."""
+        return {
+            "input": {"frames": -1},  # target (B, B, T)
+            "target_t": {"frames": 0},
+            "target_logdet": {"frames": 0},
+            "frame_scale": {"frames": 0},
+            "activation": {"frames": -1},  # (K, T)
+            "y_eigvals": {"frames": 0},  # generic-path carry (T, B)
+            "y_eigvecs": {"frames": 0},  # generic-path carry (T, B, B)
+        }
+
     def prepare_state_kwargs(self, target, state_kwargs):
         n_bins = target.shape[0]
         if "basis" not in state_kwargs:

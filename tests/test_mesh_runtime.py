@@ -479,3 +479,58 @@ def test_frames_sharded_auxiva_collective_pattern(rng):
     hlo = _compiled_step_hlo(solver, X)
     assert hlo.count(" all-reduce") >= 1, "expected covariance psum"
     assert " all-gather" not in hlo, "frame-sharded state was gathered"
+
+
+@pytest.mark.parametrize("mode,n_dev", [("bins", 3), ("frames", 7)])
+def test_complex_eucnmf_sharded_matches_single(rng, mode, n_dev):
+    """ComplexEUCNMF under the mesh runtime: the (K, F, T) phasor planes
+    shard with the target; basis/activation GEMM reductions psum."""
+    from audio_source_separation_tpu.models import ComplexEUCNMF
+
+    X = _canonical_mixture(rng)[0]  # complex (F, T)
+
+    np.random.seed(111)
+    single = ComplexEUCNMF(n_basis=10)
+    T1, V1, P1 = single(X, iteration=8)
+
+    np.random.seed(111)
+    sharded = ComplexEUCNMF(n_basis=10)
+    sharded.use_mesh(_mesh_1d(n_dev), mode=mode)
+    T2, V2, P2 = sharded(X, iteration=8)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.loss), np.asarray(single.loss), rtol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(T2), np.asarray(T1), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(V2), np.asarray(V1), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(P2), np.asarray(P1), rtol=1e-8, atol=1e-10)
+
+
+def test_ldpsdtf_sharded_matches_single(rng):
+    """LDPSDTF frames-mode (sequence-parallel) equivalence at the canonical
+    frame count: Σ_t sufficient statistics (P, Q) and the NLL psum across
+    frame shards; the B×B pencil factorizations run replicated."""
+    from audio_source_separation_tpu.models import LDPSDTF
+
+    B, T = 16, N_FRAMES
+    bases = [rng.randn(B, B) for _ in range(2)]
+    gram = np.einsum(
+        "kij,kt->ijt",
+        np.stack([a @ a.T + 0.5 * np.eye(B) for a in bases]),
+        np.abs(rng.randn(2, T)) + 0.2,
+    )
+
+    np.random.seed(111)
+    single = LDPSDTF(n_basis=2)
+    V1, H1 = single(gram, iteration=8)
+
+    np.random.seed(111)
+    sharded = LDPSDTF(n_basis=2)
+    sharded.use_mesh(_mesh_1d(7), mode="frames")
+    V2, H2 = sharded(gram, iteration=8)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.loss), np.asarray(single.loss), rtol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(V2), np.asarray(V1), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-8, atol=1e-12)
