@@ -302,3 +302,36 @@ def test_ldpsdtf_pencil_matches_generic_path(rng):
     np.testing.assert_allclose(np.asarray(V_p), np.asarray(V_g), rtol=1e-6, atol=1e-10)
     np.testing.assert_allclose(np.asarray(H_p), np.asarray(H_g), rtol=1e-6, atol=1e-10)
     np.testing.assert_allclose(loss_p, loss_g, rtol=1e-6)
+
+
+def test_ldpsdtf_warm_start_round_trip(rng, tmp_path):
+    """The per-frame equilibration (round 5) must round-trip through the
+    public warm-start/checkpoint surfaces: finalize and attribute sync
+    publish H in the INPUT frame, init_state re-equilibrates."""
+    B, T, K = 8, 10, 2
+    A1, A2 = rng.randn(B, B), rng.randn(B, B)
+    H = np.abs(rng.randn(K, T)) + 0.2
+    X = np.einsum(
+        "kij,kt->ijt",
+        np.stack([A1 @ A1.T + 0.5 * np.eye(B), A2 @ A2.T + 0.5 * np.eye(B)]),
+        H,
+    )
+
+    np.random.seed(111)
+    m1 = LDPSDTF(n_basis=K)
+    V1, H1 = m1(X, iteration=5)
+    m2 = LDPSDTF(n_basis=K)
+    V2, H2 = m2(X, iteration=5, basis=V1, activation=H1)
+    np.random.seed(111)
+    m3 = LDPSDTF(n_basis=K)
+    V3, H3 = m3(X, iteration=10)
+    np.testing.assert_allclose(np.asarray(V2), np.asarray(V3), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H3), rtol=1e-7, atol=1e-10)
+
+    # checkpoint surface: published attributes are in the input frame
+    ckpt = str(tmp_path / "psdtf.npz")
+    m1.save_state(ckpt)
+    m4 = LDPSDTF(n_basis=K)
+    V4, H4 = m4(X, iteration=5, **LDPSDTF.load_state(ckpt))
+    np.testing.assert_allclose(np.asarray(V4), np.asarray(V3), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(H4), np.asarray(H3), rtol=1e-7, atol=1e-10)
