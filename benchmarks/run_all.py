@@ -463,12 +463,12 @@ def main():
         "  all — `models/psdtf.py`); the activation trace ratios are",
         "  diagonal in the updated pencil frame and trace normalization",
         "  rescales the pencil exactly, so ONE factorization per iteration",
-        "  serves basis, activation, carry, and loss (2.3 → 1,442 iters/s",
+        "  serves basis, activation, carry, and loss (2.3 → 1,556 iters/s",
         "  cumulative).  ComplexEUCNMF carries the phase as unit-phasor",
         "  planes (no per-iteration exp/angle transcendental sweeps),",
         "  collapses the /Beta quotients into two GEMMs, and stores the",
         "  planes basis-LEADING (K, F, T) so tiles cover the big axes",
-        "  (833 → 5,193 iters/s cumulative — `models/nmf.py`).  Ozerov and",
+        "  (833 → 5,126 iters/s cumulative — `models/nmf.py`).  Ozerov and",
         "  LDPSDTF run in equilibrated frames (per-bin / per-frame;",
         "  float32-robust on real music; exactly invariant, oracle-tested).",
         "- **Compact Hermitian planes** (late round 4): a Hermitian",
