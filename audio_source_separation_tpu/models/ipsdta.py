@@ -283,6 +283,9 @@ class IPSDTABase(IVABase):
         # another cost-model-lies datum (it cannot see tile-padding and
         # layout-copy costs of the (B, B)-minor batched dots).  Default ON.
         self.source_planes = True
+        # K = 2 matrix-pencil source streams (round 5) — flipped per class
+        # after the on-chip A/B; see ``_update_source_mm_pencil``
+        self.source_pencil = False
 
 
 class GaussIPSDTA(IPSDTABase):
@@ -707,6 +710,170 @@ class GaussIPSDTA(IPSDTABase):
             ).real
             num_rows.append(zUz + tr_inv2_d)
             den_rows.append(den)
+        num = jnp.maximum(jnp.stack(num_rows), 0)
+        den = floor_below(jnp.stack(den_rows), eps)
+        V_new = V * jnp.sqrt(num / den)
+        return dict(state, activation=V_new)
+
+    # ------------------------------------------------------------------ #
+    # source model — K = 2 matrix-pencil streams (round 5).  The per-stage
+    # attribution (benchmarks/STAGES.json) measures the source MM step at
+    # ~95% of the Kondo iteration, dominated by the B² (T, n_blocks) plane
+    # streams (R, its adjugate inverse, R⁻², z).  For n_basis = 2 the block
+    # model ``R_t = V₁ₜU₁ + V₂ₜU₂`` is a matrix PENCIL per (source, block):
+    # one B×B generalized eigendecomposition ``GᴴU₁G = I, GᴴU₂G = diag(d)``
+    # (batched over blocks, ONCE per step instead of per frame)
+    # diagonalizes every frame — ``R_t⁻¹ = G diag(1/w_t) Gᴴ`` with
+    # ``w = V₁ₜ + V₂ₜd`` — so the streams collapse from B² planes to the B
+    # diagonal planes ``ỹ = Gᴴy`` and ``w``:
+    #
+    # * ``Σ_t V·zzᴴ + ε Σ_t V·R⁻² = G [Σ_t V·(qqᴴ + ε·M∘(r rᵀ))] Gᴴ`` with
+    #   ``q = ỹ/w``, ``r = 1/w``, ``M = GᴴG`` (per-block constant),
+    # * ``Σ_t V·R⁻¹ = G diag(Σ_t V/w) Gᴴ``,
+    # * the activation trace ratios are fully diagonal:
+    #   ``zᴴU₁z = Σᵢ|ỹᵢ|²/wᵢ²``, ``zᴴU₂z = Σᵢ dᵢ|ỹᵢ|²/wᵢ²``,
+    #   ``tr(U₁R⁻²) = Σᵢ Mᵢᵢ/wᵢ²``, ``tr(R⁻¹U₁) = Σᵢ 1/wᵢ`` (and d-weighted
+    #   duals for U₂) — the second inverse stream never exists.
+    #
+    # Padded block slots are injected into U₁ at a HUGE scale κ = 1/eps_mach
+    # (instead of the matrix path's unit pad): the invalid eigendirections
+    # stay exactly decoupled (U is zero-padded rows+cols) with ỹ = 0, d = 0,
+    # M_ii = 1/κ, so their spurious contributions are O(1/κ) — below
+    # roundoff — and no masking is needed; the basis chain's invalid slots
+    # are re-padded/zeroed downstream exactly as in the planes path.
+    # Documented divergence (same class as LDPSDTF's pencil): the reference's
+    # per-frame to_psd projection + adjugate-inverse floors on R become the
+    # frame-relative eigenvalue floor ``w ≥ deps·Σw`` in the pencil frame —
+    # trajectory-parity tested against the planes path at float64.
+    # ------------------------------------------------------------------ #
+    def _pencil_blocks(self, U1, U2, layout):
+        """Batched per-block pencil of ``(U₁, U₂)`` (..., nb, B, B):
+        returns ``(G, d, Mdiag)`` with ``GᴴÛ₁G = I``, ``GᴴU₂G = diag(d≥0)``
+        and ``Mdiag = diag(GᴴG)`` (real)."""
+        from jax.scipy.linalg import solve_triangular
+
+        B = layout.block_size
+        rdt = U1.real.dtype
+        deps = max(self.eps, 100 * float(jnp.finfo(rdt).eps))
+        eye = jnp.eye(B, dtype=U1.dtype)
+        pad = (~layout.valid).astype(rdt)[..., None] * eye  # (nb, B, B)
+        kappa = 1.0 / float(jnp.finfo(rdt).eps)
+        tr = jnp.trace(U1, axis1=-2, axis2=-1).real
+        ridge = deps * tr + float(np.sqrt(jnp.finfo(rdt).tiny))
+        U1h = _herm(U1) + ridge[..., None, None] * eye + kappa * pad
+        L = jnp.linalg.cholesky(U1h)
+        Z = solve_triangular(L, _herm(U2), lower=True)
+        M = solve_triangular(L, jnp.swapaxes(Z, -2, -1).conj(), lower=True)
+        d, Q = jnp.linalg.eigh(_herm(M))
+        d = jnp.maximum(d, 0)
+        G = solve_triangular(jnp.swapaxes(L, -2, -1).conj(), Q, lower=False)
+        Mdiag = jnp.einsum("...ji,...ji->...i", G.conj(), G).real
+        return G, d, Mdiag
+
+    def _pencil_w_planes(self, V_n, d_n):
+        """Per-direction pencil eigenvalue planes ``w_i (T, nb)`` with the
+        frame-relative dtype-aware floor standing in for the matrix path's
+        to_psd/adjugate guards."""
+        w = [
+            V_n[0][:, None] + V_n[1][:, None] * d_n[:, i][None, :]
+            for i in range(d_n.shape[-1])
+        ]
+        deps = max(self.eps, 100 * float(jnp.finfo(w[0].dtype).eps))
+        wsum = sum(w)
+        floor = jnp.maximum(deps * wsum, jnp.finfo(w[0].dtype).tiny)
+        return [jnp.maximum(wi, floor) for wi in w]
+
+    def _update_source_mm_pencil(self, state, layout):
+        """K = 2 pencil dual of :meth:`_update_source_mm_planes` (Kondo)."""
+        eps = self.eps
+        V = state["activation"]
+        n_sources = V.shape[0]
+        U, UP, YP, padP = self._source_planes_preamble(state, layout)
+        B = layout.block_size
+        pad_diag = (~layout.valid).astype(U.real.dtype)[..., None] * jnp.eye(
+            B, dtype=U.dtype
+        )
+
+        # --- basis statistics in the pencil frame of the CURRENT basis ---
+        G1, d1, _ = self._pencil_blocks(U[:, 0], U[:, 1], layout)
+        Sk_list, Tk_list = [], []
+        for n in range(n_sources):
+            Gn, dn = G1[n], d1[n]
+            yt = [
+                sum(Gn[:, j, i].conj() * YP[j, n] for j in range(B))
+                for i in range(B)
+            ]
+            w = self._pencil_w_planes(V[n], dn)
+            q = [yt[i] / w[i] for i in range(B)]
+            rinv = [1.0 / w[i] for i in range(B)]
+            Vc = V[n].astype(U.dtype)
+            Mfull = jnp.einsum("bji,bjk->bik", Gn.conj(), Gn)  # (nb, B, B)
+            E = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.einsum("kt,tb->kb", Vc, q[i] * q[j].conj())
+                            + (eps * Mfull[:, i, j])[None, :]
+                            * jnp.einsum("kt,tb->kb", Vc, rinv[i] * rinv[j])
+                            for j in range(B)
+                        ]
+                    )
+                    for i in range(B)
+                ]
+            )  # (B, B, K, nb)
+            E = jnp.transpose(E, (2, 3, 0, 1))  # (K, nb, B, B)
+            t_diag = jnp.transpose(
+                jnp.stack(
+                    [jnp.einsum("kt,tb->kb", Vc, rinv[i]) for i in range(B)]
+                ),
+                (1, 2, 0),
+            )  # (K, nb, B)
+            Gh = jnp.swapaxes(Gn, -2, -1).conj()
+            Sk_list.append(Gn[None] @ E @ Gh[None])
+            Tk_list.append((Gn[None] * t_diag[..., None, :]) @ Gh[None])
+        S_k = jnp.stack(Sk_list)  # (S, K, nb, B, B)
+        T_k = jnp.stack(Tk_list)
+
+        # --- basis (identical matrix-sqrt chain to the planes path) ---
+        sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
+        sqrt_STUTS, inv_sqrt = _sqrt_and_invsqrt_after_psd(
+            sqrt_S @ U @ T_k @ U @ sqrt_S, pad_diag, eps=eps
+        )
+        del sqrt_STUTS  # only the inverse square root feeds the update
+        U_new = to_psd(U @ sqrt_S @ inv_sqrt @ sqrt_S @ U, eps=eps)
+        U_new = layout.zero_padding_matrix(U_new)
+        state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
+
+        # --- activation: diagonal traces in the UPDATED pencil frame ---
+        U = self._U_kmajor(state)
+        G2, d2, M2 = self._pencil_blocks(U[:, 0], U[:, 1], layout)
+        num_rows, den_rows = [], []
+        for n in range(n_sources):
+            Gn, dn, Mn = G2[n], d2[n], M2[n]
+            yt = [
+                sum(Gn[:, j, i].conj() * YP[j, n] for j in range(B))
+                for i in range(B)
+            ]
+            w = self._pencil_w_planes(V[n], dn)
+            ynorm = sum((YP[i, n].conj() * YP[i, n]).real for i in range(B))
+            dpl = eps + eps * (ynorm + B * eps)  # the reference ridge scalar
+            r = [
+                (jnp.abs(yt[i]) ** 2 + dpl * Mn[:, i][None, :]) / (w[i] * w[i])
+                for i in range(B)
+            ]
+            num1 = sum(r)
+            num2 = sum(r[i] * dn[:, i][None, :] for i in range(B))
+            # tr(R⁻¹U₁) = Σᵢ (GᴴU₁G)ᵢᵢ/wᵢ — on the κ-padded eigendirections
+            # GᴴU₁G is exactly 0 (U₁ is zero-padded), NOT 1, so the diagonal
+            # c1 must be computed (once per block, not per frame) rather than
+            # assumed identity; d = diag(GᴴU₂G) is exact by construction.
+            c1 = jnp.einsum(
+                "bji,bjk,bki->bi", Gn.conj(), U[n, 0], Gn
+            ).real  # (nb, B)
+            den1 = sum(c1[:, i][None, :] / w[i] for i in range(B))
+            den2 = sum(dn[:, i][None, :] / w[i] for i in range(B))
+            num_rows.append(jnp.stack([num1.sum(-1), num2.sum(-1)]))
+            den_rows.append(jnp.stack([den1.sum(-1), den2.sum(-1)]))
         num = jnp.maximum(jnp.stack(num_rows), 0)
         den = floor_below(jnp.stack(den_rows), eps)
         V_new = V * jnp.sqrt(num / den)
@@ -1156,8 +1323,15 @@ class GaussIPSDTA(IPSDTABase):
                 else self._update_source_em
             )(state, layout)
         else:
+            # K = 2 pencil streams (Kondo MM; tIPSDTA overrides the method
+            # with the π-weighted dual) — gate settled per class on chip
+            pencil = (
+                planes and self.source_pencil and self.n_basis == 2
+            )
             state = (
-                self._update_source_mm_planes
+                self._update_source_mm_pencil
+                if pencil
+                else self._update_source_mm_planes
                 if planes
                 else self._update_source_mm
             )(state, layout)
@@ -1422,6 +1596,115 @@ class TIPSDTA(GaussIPSDTA):
             ).real
             num_rows.append(pi2[None, :] * (zUz + tr_inv2_e))
             den_rows.append(den)
+        num = jnp.maximum(jnp.stack(num_rows), 0)
+        den = floor_below(jnp.stack(den_rows), eps)
+        V_new = V * jnp.sqrt(num / den)
+        return dict(state, activation=V_new)
+
+    def _update_source_mm_pencil(self, state, layout):
+        """K = 2 pencil dual of the t-MM source step: the Gauss pencil with
+        the posterior weight ``π`` folded into the frame statistics.  In the
+        pencil frame ``π`` itself is diagonal —
+        ``yᴴR⁻¹y = Σ_blocks Σᵢ |ỹᵢ|²/wᵢ`` — so the weight costs B extra
+        plane reductions, not an inverse stream.  Same documented-divergence
+        guards as the Gauss pencil (frame-relative ``w`` floor)."""
+        eps, nu = self.eps, self.nu
+        V = state["activation"]
+        n_sources = V.shape[0]
+        n_bins = state["input"].shape[1]
+        U, UP, YP, padP = self._source_planes_preamble(state, layout)
+        B = layout.block_size
+        pad_diag = (~layout.valid).astype(U.real.dtype)[..., None] * jnp.eye(
+            B, dtype=U.dtype
+        )
+
+        # --- basis statistics in the pencil frame of the CURRENT basis ---
+        G1, d1, _ = self._pencil_blocks(U[:, 0], U[:, 1], layout)
+        Sk_list, Tk_list = [], []
+        for n in range(n_sources):
+            Gn, dn = G1[n], d1[n]
+            yt = [
+                sum(Gn[:, j, i].conj() * YP[j, n] for j in range(B))
+                for i in range(B)
+            ]
+            w = self._pencil_w_planes(V[n], dn)
+            yRy = sum(
+                (jnp.abs(yt[i]) ** 2 / w[i]) for i in range(B)
+            ).sum(axis=-1)
+            pi = (nu + 2 * n_bins) / (nu + 2 * yRy)  # (T,)
+            q = [yt[i] / w[i] for i in range(B)]
+            rinv = [1.0 / w[i] for i in range(B)]
+            Vp = (V[n] * pi[None, :]).astype(U.dtype)
+            Vc = V[n].astype(U.dtype)
+            Mfull = jnp.einsum("bji,bjk->bik", Gn.conj(), Gn)  # (nb, B, B)
+            E = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.einsum("kt,tb->kb", Vp, q[i] * q[j].conj())
+                            + (eps * Mfull[:, i, j])[None, :]
+                            * jnp.einsum("kt,tb->kb", Vp, rinv[i] * rinv[j])
+                            for j in range(B)
+                        ]
+                    )
+                    for i in range(B)
+                ]
+            )  # (B, B, K, nb)
+            E = jnp.transpose(E, (2, 3, 0, 1))  # (K, nb, B, B)
+            t_diag = jnp.transpose(
+                jnp.stack(
+                    [jnp.einsum("kt,tb->kb", Vc, rinv[i]) for i in range(B)]
+                ),
+                (1, 2, 0),
+            )  # (K, nb, B)
+            Gh = jnp.swapaxes(Gn, -2, -1).conj()
+            Sk_list.append(Gn[None] @ E @ Gh[None])
+            Tk_list.append((Gn[None] * t_diag[..., None, :]) @ Gh[None])
+        S_k = jnp.stack(Sk_list)  # (S, K, nb, B, B)
+        T_k = jnp.stack(Tk_list)
+
+        # --- basis (identical matrix-sqrt chain to the planes path) ---
+        sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
+        _, inv_sqrt = _sqrt_and_invsqrt_after_psd(
+            sqrt_S @ U @ T_k @ U @ sqrt_S, pad_diag, eps=eps
+        )
+        U_new = to_psd(U @ sqrt_S @ inv_sqrt @ sqrt_S @ U, eps=eps)
+        U_new = layout.zero_padding_matrix(U_new)
+        state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
+
+        # --- activation: π recomputed in the UPDATED pencil frame, applied
+        # to the numerator only (plain-ε ridge, matching the planes t-path) —
+        U = self._U_kmajor(state)
+        G2, d2, M2 = self._pencil_blocks(U[:, 0], U[:, 1], layout)
+        num_rows, den_rows = [], []
+        for n in range(n_sources):
+            Gn, dn, Mn = G2[n], d2[n], M2[n]
+            yt = [
+                sum(Gn[:, j, i].conj() * YP[j, n] for j in range(B))
+                for i in range(B)
+            ]
+            w = self._pencil_w_planes(V[n], dn)
+            yRy = sum(
+                (jnp.abs(yt[i]) ** 2 / w[i]) for i in range(B)
+            ).sum(axis=-1)
+            pi2 = (nu + 2 * n_bins) / (nu + 2 * yRy)  # (T,)
+            r = [
+                (jnp.abs(yt[i]) ** 2 + eps * Mn[:, i][None, :])
+                / (w[i] * w[i])
+                for i in range(B)
+            ]
+            num1 = sum(r)
+            num2 = sum(r[i] * dn[:, i][None, :] for i in range(B))
+            # c1 = diag(GᴴU₁G): exactly 0 on κ-padded eigendirections
+            c1 = jnp.einsum(
+                "bji,bjk,bki->bi", Gn.conj(), U[n, 0], Gn
+            ).real  # (nb, B)
+            den1 = sum(c1[:, i][None, :] / w[i] for i in range(B))
+            den2 = sum(dn[:, i][None, :] / w[i] for i in range(B))
+            num_rows.append(
+                pi2[None, :] * jnp.stack([num1.sum(-1), num2.sum(-1)])
+            )
+            den_rows.append(jnp.stack([den1.sum(-1), den2.sum(-1)]))
         num = jnp.maximum(jnp.stack(num_rows), 0)
         den = floor_below(jnp.stack(den_rows), eps)
         V_new = V * jnp.sqrt(num / den)

@@ -261,3 +261,75 @@ def test_source_planes_full_solver_parity(rng):
         np.random.seed(111)
         outs.append(np.asarray(solver(X, iteration=3)))
     np.testing.assert_allclose(outs[1], outs[0], atol=1e-10, rtol=1e-8)
+
+
+# --------------------------------------------------------------------------- #
+# K = 2 pencil source streams vs planes layout (round 5; documented-divergence
+# guards: frame-relative pencil eigenvalue floor stands in for to_psd+adjugate)
+# --------------------------------------------------------------------------- #
+def test_source_pencil_matches_planes_step(rng):
+    """One Kondo MM source step: the pencil path (one B×B generalized eigh
+    per block instead of per-frame B² inverse streams) tracks the planes
+    path at float64 on the remainder-block geometry (pad slots exercise the
+    κ-decoupled eigendirections)."""
+    solver, state = _vcd_state(rng, GaussIPSDTA, n_bins=10, n_blocks=4)
+    layout = solver._layout(10)
+    assert layout.n_remains > 0  # pad slots present
+    out_p = solver._update_source_mm_planes(state, layout)
+    out_q = solver._update_source_mm_pencil(state, layout)
+    for key in ("basis", "activation"):
+        np.testing.assert_allclose(
+            np.asarray(out_q[key]),
+            np.asarray(out_p[key]),
+            atol=1e-10,
+            rtol=1e-8,
+        )
+
+
+def test_source_pencil_full_solver_trajectory(rng):
+    """The source_pencil toggle tracks the planes trajectory (outputs and
+    loss) through the full jitted solver for 5 iterations."""
+    X = (rng.randn(2, 10, 6) + 1j * rng.randn(2, 10, 6)).astype(np.complex128)
+    outs, losses = [], []
+    for flag in (False, True):
+        solver = GaussIPSDTA(
+            n_basis=2, n_blocks=4, recordable_loss=True, author="Kondo"
+        )
+        solver.source_pencil = flag
+        np.random.seed(111)
+        outs.append(np.asarray(solver(X, iteration=5)))
+        losses.append(np.asarray(solver.loss))
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-8, rtol=1e-6)
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-8)
+
+
+def test_source_pencil_matches_planes_step_t(rng):
+    """tIPSDTA: the π-weighted pencil source step tracks the planes step at
+    float64 (π read off the diagonal pencil planes)."""
+    solver, state = _vcd_state(rng, TIPSDTA, n_bins=10, n_blocks=4, nu=3.0)
+    layout = solver._layout(10)
+    out_p = solver._update_source_mm_planes(state, layout)
+    out_q = solver._update_source_mm_pencil(state, layout)
+    for key in ("basis", "activation"):
+        np.testing.assert_allclose(
+            np.asarray(out_q[key]),
+            np.asarray(out_p[key]),
+            atol=1e-10,
+            rtol=1e-8,
+        )
+
+
+def test_source_pencil_full_solver_trajectory_t(rng):
+    """tIPSDTA source_pencil toggle tracks the planes trajectory + loss."""
+    X = (rng.randn(2, 10, 6) + 1j * rng.randn(2, 10, 6)).astype(np.complex128)
+    outs, losses = [], []
+    for flag in (False, True):
+        solver = TIPSDTA(n_basis=2, n_blocks=4, recordable_loss=True, nu=3.0)
+        solver.source_pencil = flag
+        np.random.seed(111)
+        outs.append(np.asarray(solver(X, iteration=5)))
+        losses.append(np.asarray(solver.loss))
+    # guard divergence (documented) compounds through the π-weighted VCD
+    # sweeps: step parity is ~1e-11, trajectory drifts to ~1e-5 by iter 5
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-6, rtol=1e-4)
+    np.testing.assert_allclose(losses[1], losses[0], rtol=3e-5)
