@@ -541,15 +541,21 @@ class GaussIPSDTA(IPSDTABase):
         RP = jnp.einsum("kijb,kt->ijtb", UP_n, V_n.astype(UP_n.dtype))
         RP = RP + padP[:, :, None, :]
         RP, _ = _psd_parts_planes(RP, eps=eps)
-        return _psd_inv_planes(RP, eps=eps, psd=psd)
+        # multi-consumer barrier (round 5): the inverse feeds z, R^-2, T_k
+        # and the trace denominators; without it XLA re-expands the
+        # closed-form eigvalsh producer chain into every consumer (the
+        # Ozerov E/M lever, CLAUDE.md round 4)
+        return jax.lax.optimization_barrier(
+            _psd_inv_planes(RP, eps=eps, psd=psd)
+        )
 
     @staticmethod
     def _solve_y_planes(IP, YP_n):
         """``z = R⁻¹y`` as B planes ``(T, nb)``."""
         B = IP.shape[0]
-        return [
-            sum(IP[i, j] * YP_n[j] for j in range(B)) for i in range(B)
-        ]
+        return jax.lax.optimization_barrier(
+            [sum(IP[i, j] * YP_n[j] for j in range(B)) for i in range(B)]
+        )
 
     def _update_source_em_planes(self, state, layout):
         """Planes dual of :meth:`_update_source_em` (Ikeshita)."""
@@ -633,7 +639,7 @@ class GaussIPSDTA(IPSDTABase):
         for n in range(n_sources):
             IP = self._source_R_inv_planes(UP[n], V[n], padP, True, eps)
             Z = self._solve_y_planes(IP, YP[:, n])
-            inv2 = matmul_planes(IP, IP)
+            inv2 = jax.lax.optimization_barrier(matmul_planes(IP, IP))
             Vc = V[n].astype(U.dtype)
             Sk_rows.append(
                 jnp.stack(
@@ -686,7 +692,7 @@ class GaussIPSDTA(IPSDTABase):
             Z = self._solve_y_planes(IP, YP[:, n])
             ynorm = sum((YP[i, n].conj() * YP[i, n]).real for i in range(B))
             d = eps + eps * (ynorm + B * eps)  # (T, nb)
-            inv2 = matmul_planes(IP, IP)
+            inv2 = jax.lax.optimization_barrier(matmul_planes(IP, IP))
             zUz = sum(
                 jnp.einsum(
                     "kb,tb->kt", UP[n, :, i, j], Z[i].conj() * Z[j]
@@ -1525,7 +1531,7 @@ class TIPSDTA(GaussIPSDTA):
             pi = self._pi_weight_planes(n, UP, YP, V, padP, n_bins, eps)
             IP = self._source_R_inv_planes(UP[n], V[n], padP, True, eps)
             Z = self._solve_y_planes(IP, YP[:, n])
-            inv2 = matmul_planes(IP, IP)
+            inv2 = jax.lax.optimization_barrier(matmul_planes(IP, IP))
             Vp = (V[n] * pi[None, :]).astype(U.dtype)
             Vc = V[n].astype(U.dtype)
             Sk_rows.append(
@@ -1576,7 +1582,7 @@ class TIPSDTA(GaussIPSDTA):
             pi2 = self._pi_weight_planes(n, UP, YP, V, padP, n_bins, eps)
             IP = self._source_R_inv_planes(UP[n], V[n], padP, True, eps)
             Z = self._solve_y_planes(IP, YP[:, n])
-            inv2 = matmul_planes(IP, IP)
+            inv2 = jax.lax.optimization_barrier(matmul_planes(IP, IP))
             zUz = sum(
                 jnp.einsum(
                     "kb,tb->kt", UP[n, :, i, j], Z[i].conj() * Z[j]
