@@ -14,6 +14,7 @@ only per-iteration trace).  TPU-native observability:
 
 import contextlib
 import time
+import warnings
 
 import jax
 import numpy as np
@@ -131,6 +132,20 @@ def benchmark_solver(solver, X, iteration=30, warmup=True, short=None, update_fn
 
     t_long = min_time(jit_long)
     t_short = min_time(jit_short)
+    if t_long - t_short < 0.010:
+        # The tunnel adds ±1-2 ms per-call jitter; a differenced window this
+        # small produces rates that swing ±30% run-to-run (observed: the
+        # power-only AuxIVA-IP scan at 400 iterations printed 77k, 102k and
+        # 126k iters/s on consecutive runs, and twice the difference
+        # collapsed to ~0).  Size ``iteration`` so the differenced device
+        # time is tens of ms.
+        warnings.warn(
+            "benchmark_solver: differenced window is {:.1f} ms (< 10 ms); "
+            "rate is jitter-dominated — increase `iteration`".format(
+                1e3 * (t_long - t_short)
+            ),
+            RuntimeWarning,
+        )
     marginal = max(t_long - t_short, 1e-9) / (iteration - short)
     return 1.0 / marginal, compile_seconds
 

@@ -215,7 +215,11 @@ def bench_solver_runtime(X):
     from audio_source_separation_tpu.runtime import benchmark_solver
 
     solver = AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)
-    ips, _ = benchmark_solver(solver, X.astype(np.complex64), iteration=400)
+    # 4000 iterations: at the power-only scan's ~100k iters/s a 400-iter
+    # window is ~4 ms of device time — inside the tunnel's ±1-2 ms per-call
+    # jitter (observed swings 77k-126k); 4000 gives a ~40 ms differenced
+    # window and run-to-run stability
+    ips, _ = benchmark_solver(solver, X.astype(np.complex64), iteration=4000)
     return ips
 
 

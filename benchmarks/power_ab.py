@@ -77,9 +77,9 @@ def force_complex(solver):
 def main():
     X = make_input()
     configs = [
-        ("AuxIVA-IP", 400,
+        ("AuxIVA-IP", 4000,
          lambda: AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)),
-        ("AuxGaussIVA-IP", 400,
+        ("AuxGaussIVA-IP", 4000,
          lambda: AuxGaussIVA(algorithm_spatial="IP", recordable_loss=False)),
         ("GaussILRMA (K=10)", 300,
          lambda: GaussILRMA(n_basis=10, recordable_loss=False)),

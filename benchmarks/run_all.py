@@ -176,9 +176,13 @@ def main():
     X = make_input()
     # scan lengths sized so the DIFFERENCED device time (long − short) is
     # tens of ms — well above the shared tunnel's ±1-2 ms per-call jitter;
-    # 30-iteration scans on the >5k iters/s solvers measured the jitter
+    # 30-iteration scans on the >5k iters/s solvers measured the jitter.
+    # Re-sized round 5 for the >50k iters/s rows: the round-4 power-only
+    # AuxIVA scan made 400 iterations ~4 ms of device time, and the row
+    # swung 77k-126k run-to-run (benchmark_solver now warns on <10 ms
+    # windows)
     configs = [
-        ("AuxIVA-IP", 400, lambda: AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)),
+        ("AuxIVA-IP", 4000, lambda: AuxLaplaceIVA(algorithm_spatial="IP", recordable_loss=False)),
         ("AuxIVA-ISS", 400, lambda: AuxLaplaceIVA(algorithm_spatial="ISS", recordable_loss=False)),
         ("AuxIVA-IP2", 300, lambda: AuxLaplaceIVA(algorithm_spatial="IP2", recordable_loss=False)),
         ("GaussILRMA-IP2 (K=10)", 300, lambda: GaussILRMA(n_basis=10, algorithm_spatial="IP2", recordable_loss=False)),
@@ -195,7 +199,7 @@ def main():
         ("GaussIPSDTA Kondo (K=2, 1024 blocks)", 5, lambda: GaussIPSDTA(n_basis=2, author="Kondo", recordable_loss=False)),
         ("GaussIPSDTA Ikeshita (K=2, 1024 blocks)", 5, lambda: GaussIPSDTA(n_basis=2, author="Ikeshita", recordable_loss=False)),
         ("tIPSDTA Kondo (K=2, 1024 blocks)", 5, lambda: TIPSDTA(n_basis=2, nu=1000, recordable_loss=False)),
-        ("AuxGaussIVA-IP", 400, lambda: AuxGaussIVA(algorithm_spatial="IP", recordable_loss=False)),
+        ("AuxGaussIVA-IP", 4000, lambda: AuxGaussIVA(algorithm_spatial="IP", recordable_loss=False)),
         ("GradLaplaceFDICA", 400, lambda: GradLaplaceFDICA(recordable_loss=False)),
     ]
     # roofline denominator: the chip's SUSTAINED copy bandwidth, measured on
@@ -261,13 +265,13 @@ def main():
         np.abs(rng_g.randn(2, X.shape[-1])) + 0.2,
     )
     factor_configs = [
-        ("ISNMF (K=10, 1 ch)", 600, lambda: ISNMF(n_basis=10), P1),
-        ("EUCNMF (K=10, 1 ch)", 600, lambda: EUCNMF(n_basis=10), P1),
-        ("KLNMF (K=10, 1 ch)", 600, lambda: KLNMF(n_basis=10), P1),
-        ("tNMF (K=10, 1 ch)", 600, lambda: TNMF(n_basis=10), P1),
-        ("CauchyNMF (K=10, 1 ch)", 600, lambda: CauchyNMF(n_basis=10), P1),
+        ("ISNMF (K=10, 1 ch)", 4000, lambda: ISNMF(n_basis=10), P1),
+        ("EUCNMF (K=10, 1 ch)", 8000, lambda: EUCNMF(n_basis=10), P1),
+        ("KLNMF (K=10, 1 ch)", 4000, lambda: KLNMF(n_basis=10), P1),
+        ("tNMF (K=10, 1 ch)", 2000, lambda: TNMF(n_basis=10), P1),
+        ("CauchyNMF (K=10, 1 ch)", 4000, lambda: CauchyNMF(n_basis=10), P1),
         ("ComplexEUCNMF (K=10, 1 ch)", 300, lambda: ComplexEUCNMF(n_basis=10), X[0]),
-        ("EUCNTF (K=10)", 400, lambda: EUCNTF(n_basis=10), P3),
+        ("EUCNTF (K=10)", 3000, lambda: EUCNTF(n_basis=10), P3),
         ("CovarianceISNMF (K=10)", 50, lambda: CovarianceISNMF(n_basis=10), cov_target),
         ("LDPSDTF (K=2, B=64)", 60, lambda: LDPSDTF(n_basis=2), gram),
     ]
@@ -308,6 +312,13 @@ def main():
         "so the differenced device time is tens of ms: the tunnel adds",
         "±1-2 ms of per-call jitter, which at 30-iteration scans swung the",
         ">5k iters/s rows by up to ±2x run-to-run (observed both ways).",
+        "Round 5 re-sized the >50k iters/s rows to 2000-8000-iteration",
+        "scans: the round-4 power-only speedup had shrunk AuxIVA-IP's",
+        "400-iteration window to ~4 ms, and the published row swung",
+        "77k-126k across regenerations (`benchmark_solver` now warns on",
+        "<10 ms windows).  Rows older than this regeneration that quoted",
+        "~102k AuxIVA-IP were high-side jitter samples of the same program",
+        "measured at ~85k here.",
         "",
         "The dominant optimization across the heavy families is the PLANES",
         "LAYOUT: every per-bin/per-block small matrix keeps its tiny",
@@ -429,12 +440,14 @@ def main():
         "  (S, S) normal solve uses the adjugate closed form instead of a",
         "  batched LU.  The E step alone runs ~10.7k iters/s (table below),",
         "  so the EM is now M-step/consumer-bound, not posterior-bound.",
-        "  Late round 4 cuts the M step further: R_xx = mean_t(x x^H) is",
-        "  hoisted out of the scan as an invariant (it is a pure function of",
-        "  the mixture), R_xs and the s-posterior outer product are single",
-        "  batched t-contraction einsums (operands read exactly once), and",
-        "  the R_ss correction computes only its Hermitian upper triangle —",
-        "  compiled body cost 680.7 → 411.9 MB/iteration (XLA cost_analysis).",
+        "  Late round 4 hoisted R_xx = mean_t(x x^H) out of the scan as an",
+        "  invariant (a pure function of the mixture) and KEPT the lazy",
+        "  per-entry frame reductions for R_xs/R_ss: the 'single batched",
+        "  t-contraction einsum' variant modeled fewer bytes (680.7 → 411.9",
+        "  MB/iter by cost_analysis) but HALVED the chip rate — t-contracting",
+        "  dots layout-copy the (·, F, T) planes to frame-major — and was",
+        "  reverted (commit 0476085; see docs/PERFORMANCE.md 'the cost model",
+        "  lies both ways').",
         "- **OverAuxIVA**: no separate row — its overdetermined path is PCA",
         "  (one host-jit call) + the AuxIVA-IP scan on the reduced channels",
         "  (`models/iva.py:682-712`), so its per-iteration rate IS the",
