@@ -57,10 +57,12 @@ from ..ops.fast_linalg import (
     compact_entry,
     expand_hermitian_compact,
     expand_hermitian_compact_trailing,
+    hermitian_compact_from_entries,
     inv_hermitian_compact,
     inv_planes,
     psd_parts_planes,
     sandwich_hermitian_compact,
+    solve_riccati_hermitian_compact,
 )
 from ..ops.ip_components import _plane_index, pair_products_planes
 from ..runtime.solver import IterativeSolver
@@ -101,6 +103,10 @@ class MultichannelISNMF(MultichannelNMFBase):
         "noise_covariance",
     )
     invariant_fields = ("input", "covariance_planes", "second_moment", "bin_scale")
+    # Sawada spatial Riccati on compact Hermitian planes (C == 2 closed
+    # form; falls back to the batched matrix path otherwise).  Settled by
+    # on-chip A/B (benchmarks/riccati_ab.py) — see RESULTS.md.
+    riccati_planes = True
 
     def __init__(
         self,
@@ -458,6 +464,37 @@ class MultichannelISNMF(MultichannelNMFBase):
             sandwich_hermitian_compact(inv, state["covariance_planes"])
         )
         ZTV = self._ztv(state)  # (S, F, T) real
+
+        if self.riccati_planes and C == 2:
+            # planes Riccati (round 5): the whole
+            # A^{-1/2}(A^{1/2}BA^{1/2})^{1/2}A^{-1/2} chain runs on compact
+            # Hermitian planes of shape (C², S, F) — F in the tile lanes —
+            # so none of its ~2 dozen intermediates materializes in the
+            # tile-padded (F, S, 2, 2) matrix layout (~33 MB each padded vs
+            # 131 KB payload; the Riccati chain was the measured-dominant
+            # Sawada stage, STAGES.json 'spatial (Riccati)')
+            def contract_planes(planes):
+                # (S, C², F) mul+reduce (fuses; an einsum dot forced
+                # (F, T)-batched layout copies of both operands), then a
+                # lazy transpose to (C², S, F)
+                return jnp.transpose(
+                    (ZTV.astype(planes.dtype)[:, None] * planes[None]).sum(-1),
+                    (1, 0, 2),
+                )
+
+            A_p = contract_planes(inv)
+            Z_p = contract_planes(XXX)
+            H_p = hermitian_compact_from_entries(
+                lambda c, d: jnp.swapaxes(H[:, :, c, d], 0, 1), C
+            )
+            B_p = sandwich_hermitian_compact(H_p, Z_p)
+            H_p = solve_riccati_hermitian_compact(A_p, B_p)
+            diag, off = H_p[:C] + eps, H_p[C:]
+            if self.normalize:
+                tr = diag.sum(axis=0)
+                diag, off = diag / tr, off / tr
+            H_new = expand_hermitian_compact(jnp.concatenate([diag, off]))
+            return dict(state, spatial=jnp.transpose(H_new, (3, 2, 0, 1)))
 
         def contract_t(planes):
             # single batched REAL t-contraction over the compact planes

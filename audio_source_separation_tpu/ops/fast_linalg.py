@@ -496,6 +496,65 @@ def sandwich_hermitian_compact(a_planes, x_planes):
     return hermitian_compact_from_entries(ent, n)
 
 
+def power_hermitian_compact(planes, power, eps=0.0):
+    """Compact planes of the spectral power ``M^power`` for a compact
+    Hermitian 2×2 field — the planes dual of
+    ``algorithm.linalg._power_2x2`` (same scale-invariant divided-difference
+    algebra, same ``eps`` eigenvalue clip), with every intermediate an
+    elementwise op over the batch planes: nothing ever materializes in the
+    tile-padded ``(..., 2, 2)`` matrix layout (a ``(F, S, 2, 2)`` complex
+    array pads its minors to the 8×128 tile at ~256× the payload's HBM
+    traffic — the round-3 planes rule)."""
+    n = int(round(planes.shape[0] ** 0.5))
+    if n != 2:
+        raise ValueError(
+            "power_hermitian_compact: closed form covers n == 2, got {}".format(n)
+        )
+    a, d, br, bi = planes[0], planes[1], planes[2], planes[3]
+    # spectral-radius bound s factored out for scale invariance (exact
+    # algebra: f(M) = f(s·(M/s)) with the clip carried as eps/s)
+    abs_b = jnp.sqrt(br * br + bi * bi)
+    s = (jnp.abs(a) + jnp.abs(d)) / 2 + abs_b
+    s = jnp.maximum(s, jnp.finfo(s.dtype).tiny)
+    an, dn, brn, bin_ = a / s, d / s, br / s, bi / s
+    tr = an + dn
+    det = an * dn - (brn * brn + bin_ * bin_)
+    mean = tr / 2
+    rad = jnp.sqrt(jnp.maximum(mean**2 - det, 0.0))
+    l1, l2 = mean + rad, mean - rad  # eigenvalues of M / s, O(1)
+
+    def f(w):
+        w = jnp.maximum(w, eps / s)
+        pw = jnp.where(w > 0, w, 1.0) ** power
+        return jnp.where(w > 0, pw, 0.0)
+
+    f1, f2 = f(l1), f(l2)
+    gap = l1 - l2
+    scale = jnp.maximum(jnp.maximum(jnp.abs(l1), jnp.abs(l2)), 1e-30)
+    safe = gap > 1e-6 * scale
+    gap_safe = jnp.where(safe, gap, 1.0)
+    ca = jnp.where(safe, (f1 - f2) / gap_safe, 0.0)
+    cb = jnp.where(safe, (f2 * l1 - f1 * l2) / gap_safe, f1)
+    sp = s**power
+    # f(M) = a·(M/s) + b·I, restated on the compact planes
+    return sp * jnp.stack([ca * an + cb, ca * dn + cb, ca * brn, ca * bin_])
+
+
+def solve_riccati_hermitian_compact(A_planes, B_planes, eps=1e-12):
+    """Compact planes of the Hermitian PSD solution of ``H A H = B``
+    (``H = A^{-1/2}(A^{1/2} B A^{1/2})^{1/2} A^{-1/2}``) — the planes dual
+    of ``algorithm.linalg.solve_riccati`` for 2×2 operands.  The matrix
+    path's explicit Hermitian symmetrizations are implicit here: every
+    sandwich is Hermitian by construction (exact, not FP-order-dependent).
+    Reference construction: ``src/algorithm/linalg.py:7-31`` (Sawada MNMF
+    spatial update ``bss/mnmf.py:467``, ``algorithm/nmf.py:800``)."""
+    A_sqrt = power_hermitian_compact(A_planes, 0.5, eps=0.0)
+    A_invsqrt = power_hermitian_compact(A_planes, -0.5, eps=eps)
+    M = sandwich_hermitian_compact(A_sqrt, B_planes)
+    M_sqrt = power_hermitian_compact(M, 0.5, eps=0.0)
+    return sandwich_hermitian_compact(A_invsqrt, M_sqrt)
+
+
 def expand_hermitian_compact_trailing(small, n):
     """Trailing-compact real ``(..., n²)`` → complex ``(..., n, n)`` (for
     the TINY per-(bin, source) matrices produced by contracting compact

@@ -451,3 +451,71 @@ def test_compact_hermitian_roundtrip_and_closed_forms(rng):
             expand_hermitian_compact_trailing(jnp.asarray(small.T), n)
         )  # (F, n, n)
         np.testing.assert_allclose(dense_small, A.sum(1), atol=1e-12)
+
+
+def test_power_hermitian_compact_matches_matrix_power(rng):
+    """The compact-planes 2×2 fractional power (round 5, the Sawada planes
+    Riccati building block) matches ``hermitian_matrix_power`` entrywise,
+    including the eps eigenvalue clip for negative powers."""
+    import jax.numpy as jnp
+    from audio_source_separation_tpu.algorithm.linalg import (
+        hermitian_matrix_power,
+    )
+    from audio_source_separation_tpu.ops.fast_linalg import (
+        expand_hermitian_compact,
+        hermitian_compact_from_planes,
+        power_hermitian_compact,
+    )
+
+    F, T = 5, 7
+    A = random_psd(rng, F, T, n=2)
+    compact = hermitian_compact_from_planes(
+        jnp.asarray(np.moveaxis(A, (-2, -1), (0, 1)))
+    )
+    for power, eps in ((0.5, 0.0), (-0.5, 1e-12), (2.0, 0.0), (-1.0, 1e-9)):
+        got = np.moveaxis(
+            np.asarray(
+                expand_hermitian_compact(
+                    power_hermitian_compact(compact, power, eps=eps)
+                )
+            ),
+            (0, 1),
+            (-2, -1),
+        )
+        want = np.asarray(hermitian_matrix_power(jnp.asarray(A), power, eps=eps))
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+    # scale invariance across ~30 decades (the f32 dynamic-range requirement)
+    for scale in (1e-20, 1e12):
+        got = np.asarray(power_hermitian_compact(compact * scale, 0.5))
+        np.testing.assert_allclose(
+            got, np.asarray(power_hermitian_compact(compact, 0.5)) * scale**0.5,
+            rtol=1e-8,
+        )
+
+
+def test_solve_riccati_hermitian_compact_matches_matrix(rng):
+    """The planes Riccati (Sawada spatial update dual) solves H A H = B and
+    matches the matrix closed form."""
+    import jax.numpy as jnp
+    from audio_source_separation_tpu.ops.fast_linalg import (
+        expand_hermitian_compact,
+        hermitian_compact_from_planes,
+        solve_riccati_hermitian_compact,
+    )
+
+    F, T = 4, 6
+    A = random_psd(rng, F, T, n=2)
+    B = random_psd(rng, F, T, n=2)
+    to_compact = lambda M: hermitian_compact_from_planes(  # noqa: E731
+        jnp.asarray(np.moveaxis(M, (-2, -1), (0, 1)))
+    )
+    H_p = solve_riccati_hermitian_compact(to_compact(A), to_compact(B))
+    H = np.moveaxis(
+        np.asarray(expand_hermitian_compact(H_p)), (0, 1), (-2, -1)
+    )
+    np.testing.assert_allclose(H, np.swapaxes(H, -2, -1).conj(), atol=1e-10)
+    np.testing.assert_allclose(H @ A @ H, B, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(
+        H, np.asarray(solve_riccati(jnp.asarray(A), jnp.asarray(B))),
+        rtol=1e-7, atol=1e-9,
+    )

@@ -182,3 +182,20 @@ def test_fastmnmf_partitioning_raises():
 def test_multichannel_tnmf_warns():
     with pytest.warns(UserWarning):
         MultichanneltNMF(n_basis=2)
+
+
+def test_sawada_riccati_planes_matches_matrix(rng):
+    """The ``riccati_planes`` toggle (round 5: the whole spatial Riccati
+    chain on compact Hermitian planes) is output-invariant through the full
+    jitted solver at float64."""
+    mixture, _ = synth_convolutive_mixture(rng, n_sources=2, n_samples=4000)
+    X = np.asarray(stft(mixture, fft_size=128, hop_size=64))
+    outs, losses = [], []
+    for flag in (False, True):
+        np.random.seed(111)
+        solver = MultichannelISNMF(n_basis=2, author="Sawada")
+        solver.riccati_planes = flag
+        outs.append(np.asarray(solver(X, iteration=5)))
+        losses.append(np.asarray(solver.loss))
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-8)
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-8, rtol=1e-6)
