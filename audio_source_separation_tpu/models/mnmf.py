@@ -427,7 +427,10 @@ class MultichannelISNMF(MultichannelNMFBase):
         eps = self.eps
         Z, T, V = state["latent"], state["basis"], state["activation"]
         tn, td = self._trace_terms(state)
-        num = jnp.einsum("sk,kt,fst->fk", Z, V, tn)
+        # floor at 0: the trace numerators are PSD×PSD traces (≥ 0
+        # exactly) but round slightly negative at float32 near zero,
+        # and sqrt(num) would NaN (same hardening as models/nmf.py)
+        num = jnp.maximum(jnp.einsum("sk,kt,fst->fk", Z, V, tn), 0.0)
         den = floor_below(jnp.einsum("sk,kt,fst->fk", Z, V, td), eps)
         return dict(state, basis=T * jnp.sqrt(num / den))
 
@@ -436,7 +439,7 @@ class MultichannelISNMF(MultichannelNMFBase):
         eps = self.eps
         Z, T, V = state["latent"], state["basis"], state["activation"]
         tn, td = self._trace_terms(state)
-        num = jnp.einsum("sk,fk,fst->kt", Z, T, tn)
+        num = jnp.maximum(jnp.einsum("sk,fk,fst->kt", Z, T, tn), 0.0)
         den = floor_below(jnp.einsum("sk,fk,fst->kt", Z, T, td), eps)
         return dict(state, activation=V * jnp.sqrt(num / den))
 
@@ -445,7 +448,7 @@ class MultichannelISNMF(MultichannelNMFBase):
         eps = self.eps
         Z, T, V = state["latent"], state["basis"], state["activation"]
         tn, td = self._trace_terms(state)
-        num = jnp.einsum("fk,kt,fst->sk", T, V, tn)
+        num = jnp.maximum(jnp.einsum("fk,kt,fst->sk", T, V, tn), 0.0)
         den = floor_below(jnp.einsum("fk,kt,fst->sk", T, V, td), eps)
         Z = Z * jnp.sqrt(num / den)
         Z = Z / floor_below(Z.sum(axis=0), eps)

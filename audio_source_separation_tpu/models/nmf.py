@@ -36,11 +36,13 @@ from ..ops.fast_linalg import (
     expand_hermitian_compact,
     expand_hermitian_compact_trailing,
     herm_planes,
+    hermitian_compact_from_entries,
     hermitian_eigvalsh_planes,
     inv_hermitian_compact,
     inv_planes,
     matmul_planes,
     sandwich_hermitian_compact,
+    solve_riccati_hermitian_compact,
     trace_planes,
 )
 from ..ops.ip_components import _plane_index
@@ -484,6 +486,11 @@ class MultichannelISNMF(IterativeSolver):
     state_fields = ("spatial", "basis", "activation")
     record_initial_loss = False
     invariant_fields = ("target_planes", "bin_scale")
+    # per-basis spatial Riccati on compact Hermitian planes (C == 2 closed
+    # form; falls back to the batched matrix path otherwise) — same lever
+    # as MultichannelISNMF.riccati_planes in models/mnmf.py, settled by
+    # on-chip A/B (benchmarks/riccati_ab.py, RESULTS.md)
+    riccati_planes = True
 
     def field_axes(self):
         """Shardable axes (see :meth:`IterativeSolver.use_mesh`): per-bin
@@ -506,15 +513,24 @@ class MultichannelISNMF(IterativeSolver):
 
     def prepare_state_kwargs(self, target, state_kwargs):
         n_bins, n_frames, n_channels, _ = target.shape
+        # generated inits match the TARGET's precision (cast AFTER drawing,
+        # so float64 seeded parity sees identical values): a complex64
+        # target with float64 rand inits would otherwise promote the
+        # spatial carry to complex128 under x64 and break the scan carry
+        real_dtype = np.zeros(0, dtype=target.dtype).real.dtype
         if "spatial" not in state_kwargs:
             state_kwargs["spatial"] = np.tile(
                 np.eye(n_channels, dtype=target.dtype),
                 (n_bins, self.n_basis, 1, 1),
             )
         if "basis" not in state_kwargs:
-            state_kwargs["basis"] = np.random.rand(n_bins, self.n_basis)
+            state_kwargs["basis"] = np.random.rand(n_bins, self.n_basis).astype(
+                real_dtype
+            )
         if "activation" not in state_kwargs:
-            state_kwargs["activation"] = np.random.rand(self.n_basis, n_frames)
+            state_kwargs["activation"] = np.random.rand(
+                self.n_basis, n_frames
+            ).astype(real_dtype)
         return state_kwargs
 
     def init_state(self, target, spatial=None, basis=None, activation=None):
@@ -597,8 +613,23 @@ class MultichannelISNMF(IterativeSolver):
         # per call site — without them XLA re-expands the K-sum
         # reconstruction into every consumer
         xh = self._xhat_compact(state)
-        inv = inv_hermitian_compact(xh, ridge=self.eps)
+        inv = inv_hermitian_compact(xh, ridge=self._inv_ridge(xh))
         return jax.lax.optimization_barrier(inv)
+
+    def _inv_ridge(self, xh):
+        # dtype-aware SCALE-RELATIVE ridge: per-bin equilibration bounds the
+        # cross-bin spread, but within a bin X̂[f, t] still spans the
+        # frames' ~20-decade silence-to-loud range, and the absolute 1e-12
+        # ridge is ~15 decades below loud frames' scale at float32 — the
+        # adjugate determinant a·d − |b|² then cancels to ≤ 0 for
+        # near-rank-1 X̂ (roundoff ~eps_machine·tr² swamps the ridge) and
+        # the inverse turns inf (observed on sample-song at complex64).
+        # 100·eps_machine·tr/C dominates that cancellation noise by 100x
+        # and is invisible at float64 fixture scale (2e-14 of the local
+        # eigenvalues), so float64 parity tests are unaffected.
+        C = int(round(xh.shape[0] ** 0.5))
+        tr = sum(xh[c] for c in range(C)) / C  # (F, T) local scale
+        return self.eps + 100.0 * jnp.finfo(xh.dtype).eps * tr
 
     def _mu_operands(self, state):
         """``X̂⁻¹`` and ``X̂⁻¹XX̂⁻¹`` as compact Hermitian planes (both
@@ -631,7 +662,12 @@ class MultichannelISNMF(IterativeSolver):
         Vr = V.astype(T.dtype)
         Mn = jnp.einsum("pft,kt->pfk", XXX, Vr)
         Md = jnp.einsum("pft,kt->pfk", inv, Vr)
-        num = (wc * Mn).sum(axis=0)  # (F, K)
+        # the numerators/denominators are traces of PSD×PSD products —
+        # mathematically ≥ 0, but at float32 the pair-weighted plane sums
+        # round slightly NEGATIVE near zero and sqrt(num) NaNs (observed on
+        # sample-song at complex64: ONE negative entry killed every bin).
+        # Floor at 0 — exact w.r.t. the float64 math.
+        num = jnp.maximum((wc * Mn).sum(axis=0), 0.0)  # (F, K)
         den = (wc * Md).sum(axis=0)
         T = T * jnp.sqrt(num / jnp.maximum(den, eps))
         state = dict(state, basis=T)
@@ -639,7 +675,7 @@ class MultichannelISNMF(IterativeSolver):
         # --- activation (X̂ rebuilt with the NEW basis) ---
         inv, XXX = self._mu_operands(state)
         wct = wc * T[None].astype(wc.dtype)  # (C², F, K)
-        num = jnp.einsum("pfk,pft->kt", wct, XXX)
+        num = jnp.maximum(jnp.einsum("pfk,pft->kt", wct, XXX), 0.0)
         den = jnp.einsum("pfk,pft->kt", wct, inv)
         V = V * jnp.sqrt(num / jnp.maximum(den, eps))
         state = dict(state, activation=V)
@@ -648,6 +684,32 @@ class MultichannelISNMF(IterativeSolver):
         # trailing expansion, and the solve on the small (F, K, C, C) ---
         inv, XXX = self._mu_operands(state)
         Vr = V.astype(T.dtype)
+
+        if self.riccati_planes and n_channels == 2:
+            # planes Riccati (round 5, shared with the Sawada BSS solver):
+            # the whole A^{-1/2}(A^{1/2}BA^{1/2})^{1/2}A^{-1/2} chain runs
+            # on compact Hermitian planes (C², K, F) — F in the tile lanes —
+            # so none of its intermediates materializes in the tile-padded
+            # (F, K, 2, 2) matrix layout
+            def contract_planes(planes):
+                # (K, C², F) mul+reduce (fuses), lazy transpose to (C², K, F)
+                return jnp.transpose(
+                    (Vr[:, None, None, :] * planes[None]).sum(-1), (1, 0, 2)
+                )
+
+            A_p = contract_planes(inv)
+            Z_p = contract_planes(XXX)
+            H_p = hermitian_compact_from_entries(
+                lambda c, d: jnp.swapaxes(H[:, :, c, d], 0, 1), n_channels
+            )
+            B_p = sandwich_hermitian_compact(H_p, Z_p)
+            H_p = solve_riccati_hermitian_compact(A_p, B_p)
+            diag, off = H_p[:n_channels] + eps, H_p[n_channels:]
+            if self.normalize:
+                tr = diag.sum(axis=0)
+                diag, off = diag / tr, off / tr
+            H_new = expand_hermitian_compact(jnp.concatenate([diag, off]))
+            return dict(state, spatial=jnp.transpose(H_new, (3, 2, 0, 1)))
 
         def contract_t(planes):
             small = jnp.einsum("pft,kt->fkp", planes, Vr)  # (F, K, C²)
@@ -674,7 +736,12 @@ class MultichannelISNMF(IterativeSolver):
         Xp = add_diag_planes(
             expand_hermitian_compact(state["target_planes"]), ridge
         )
-        Xh = add_diag_planes(self._xhat_planes(state), ridge)
+        xh_c = self._xhat_compact(state)
+        # the model-side inverse needs the scale-relative ridge too (same
+        # f32 adjugate cancellation as _inv_xhat_compact)
+        Xh = add_diag_planes(
+            expand_hermitian_compact(xh_c), self._inv_ridge(xh_c)
+        )
         XX = matmul_planes(Xp, inv_planes(Xh))
         trace = trace_planes(XX)
         wX = hermitian_eigvalsh_planes(herm_planes(Xp))

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from audio_source_separation_tpu.models import MultichannelISNMF
+from audio_source_separation_tpu.models import CovarianceISNMF, MultichannelISNMF
 from audio_source_separation_tpu.runtime import benchmark_solver
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RICCATI_AB.json")
@@ -36,9 +36,9 @@ def make_input(n_channels=2, n_bins=2049, n_frames=469, dtype=np.complex64):
     return np.einsum("cd,dft->cft", A, S).astype(dtype)
 
 
-def bench(row, X, iters, rows, flag):
+def bench(row, X, iters, rows, flag, factory=None):
     np.random.seed(111)
-    solver = MultichannelISNMF(n_basis=10, recordable_loss=False)
+    solver = (factory or (lambda: MultichannelISNMF(n_basis=10, recordable_loss=False)))()
     solver.riccati_planes = flag
     try:
         ips, compile_s = benchmark_solver(solver, X, iteration=iters)
@@ -53,17 +53,20 @@ def bench(row, X, iters, rows, flag):
 
 def main():
     X = make_input()
+    cov_target = np.einsum("cft,dft->ftcd", X, X.conj()).astype(np.complex64)
     rows = []
     # interleave arms twice so tunnel drift can't masquerade as a gate win
     for rep in (1, 2):
         for flag in (True, False):
+            mode = "riccati_planes" if flag else "riccati_matrix"
             bench(
-                {
-                    "solver": "Sawada MNMF (K=10)",
-                    "mode": "riccati_planes" if flag else "riccati_matrix",
-                    "rep": rep,
-                },
+                {"solver": "Sawada MNMF (K=10)", "mode": mode, "rep": rep},
                 X, 100, rows, flag,
+            )
+            bench(
+                {"solver": "CovarianceISNMF (K=10)", "mode": mode, "rep": rep},
+                cov_target, 50, rows, flag,
+                factory=lambda: CovarianceISNMF(n_basis=10),
             )
 
 

@@ -335,3 +335,28 @@ def test_ldpsdtf_warm_start_round_trip(rng, tmp_path):
     V4, H4 = m4(X, iteration=5, **LDPSDTF.load_state(ckpt))
     np.testing.assert_allclose(np.asarray(V4), np.asarray(V3), rtol=1e-7, atol=1e-10)
     np.testing.assert_allclose(np.asarray(H4), np.asarray(H3), rtol=1e-7, atol=1e-10)
+
+
+def test_multichannel_isnmf_riccati_planes_matches_matrix(rng):
+    """The ``riccati_planes`` toggle (round 5: the per-basis spatial Riccati
+    chain on compact Hermitian planes) is output-invariant through the full
+    jitted solver at float64."""
+    F, T, C, K = 9, 16, 2, 4
+    a = rng.randn(F, 2, C) + 1j * rng.randn(F, 2, C)
+    spat = a[..., :, None] * a[..., None, :].conj()
+    spec = np.abs(rng.randn(F, 2)) + 0.1
+    act = np.abs(rng.randn(2, T)) + 0.1
+    X = np.einsum("fncd,fn,nt->ftcd", spat, spec, act) + 0.01 * np.eye(C)
+
+    outs, losses = [], []
+    for flag in (False, True):
+        np.random.seed(111)
+        model = MultichannelISNMF(n_basis=K)
+        model.riccati_planes = flag
+        outs.append(model(X, iteration=8))
+        losses.append(np.asarray(model.loss))
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-8)
+    for got, want in zip(outs[1], outs[0]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-8, rtol=1e-6
+        )

@@ -312,3 +312,31 @@ def test_factorizers_float32_real_music_finite(song, name):
     if name not in ("ComplexEUCNMF", "CauchyNMF"):
         d = np.diff(loss)
         assert (d <= np.abs(loss[:-1]) * 1e-4 + 1e-12).all()
+
+
+def test_covariance_isnmf_float32_real_music_finite(song):
+    """Round-5 regression: CovarianceISNMF on the REAL sample-song
+    covariance at complex64 NaN'd at ~iteration 25 two independent ways the
+    fixture-scale f32 test can't see: (1) the absolute 1e-12 inverse ridge
+    is ~15 decades below loud frames' scale, so the f32 adjugate determinant
+    ``a·d − |b|²`` of near-rank-1 ``X̂`` cancels to ≤ 0 and the inverse
+    turns inf (fix: dtype-aware scale-relative ridge, ``_inv_ridge``);
+    (2) the MU trace numerators (PSD×PSD traces, mathematically ≥ 0) round
+    slightly negative near zero and ``sqrt(num)`` NaNs (fix: floor at 0)."""
+    from audio_source_separation_tpu.models import CovarianceISNMF
+
+    x, _, _ = song
+    X = np.asarray(stft(x, fft_size=4096, hop_size=2048)).astype(np.complex64)
+    cov = np.einsum("cft,dft->ftcd", X, X.conj()).astype(np.complex64)
+    np.random.seed(111)
+    model = CovarianceISNMF(n_basis=10)
+    H, T, V = model(cov, iteration=40)
+    loss = np.asarray(model.loss)
+    assert np.isfinite(loss).all()
+    for arr in (H, T, V):
+        assert np.isfinite(np.asarray(arr)).all()
+    # overall convergent; small f32 plateau drift is allowed (same class as
+    # the documented Ozerov/IPSDTA real-music f32 behavior)
+    assert loss[-1] < loss[0]
+    d = np.diff(loss)
+    assert (d <= np.abs(loss[:-1]) * 0.05).all()
