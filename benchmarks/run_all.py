@@ -496,7 +496,11 @@ def main():
         "  fold into T; V/T contract against each compact plane once) so",
         "  the complex (F, K, T) basis-activation product and the per-basis",
         "  (K, F, T) trace tensors never materialize: 4,929 → 565",
-        "  MB/iteration (8.7×).  FastMNMF's MU E-GEMMs are written",
+        "  MB/iteration (8.7×).  Round 5 extends the planes layout to the",
+        "  spatial RICCATI CHAIN itself (closed-form 2×2 fractional powers",
+        "  on compact planes, `solve_riccati_hermitian_compact`): Sawada",
+        "  2.4×, CovarianceISNMF 6.5× on chip (A/B table below).",
+        "  FastMNMF's MU E-GEMMs are written",
         "  big-operand-first so the (M, F, T) operands keep the frame axis",
         "  minor on both dot sides (the reversed forms layout-copied 7.7 MB",
         "  per GEMM).",
@@ -643,6 +647,49 @@ def main():
                         name, a, b, on, off, on / off
                     )
                 )
+
+    # round-5 planes Riccati A/B (benchmarks/riccati_ab.py artifact)
+    riccati_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "RICCATI_AB.json"
+    )
+    if os.path.exists(riccati_path):
+        with open(riccati_path) as f:
+            ric_rows = [
+                r for r in json.load(f)["rows"] if "iters_per_sec" in r
+            ]
+        if ric_rows:
+            lines += [
+                "",
+                "## Planes Riccati A/B (round 5)",
+                "",
+                "Same solver, same config (`riccati_ab.py`, differenced",
+                "methodology, arms interleaved twice).  `planes` runs the whole",
+                "spatial Riccati chain A^{-1/2}(A^{1/2}BA^{1/2})^{1/2}A^{-1/2}",
+                "on compact Hermitian planes (closed-form 2×2 fractional powers,",
+                "`ops/fast_linalg.py::solve_riccati_hermitian_compact`) so none",
+                "of its intermediates materializes in the tile-padded",
+                "(F, ·, 2, 2) matrix layout; `matrix` is the round-4 path.",
+                "Gate `riccati_planes` defaults ON (settled here, not by the",
+                "cost model).  CovarianceISNMF (K = 10 solves per bin) also",
+                "drops compile + first-exec 287 s → ~5 s.",
+                "",
+                "| Solver | rep | planes iters/s | matrix iters/s | planes/matrix |",
+                "|---|---|---|---|---|",
+            ]
+            by_key = {}
+            for r in ric_rows:
+                by_key.setdefault((r["solver"], r.get("rep", 1)), {})[
+                    r["mode"]
+                ] = r["iters_per_sec"]
+            for (name, rep), modes in sorted(by_key.items()):
+                if "riccati_planes" in modes and "riccati_matrix" in modes:
+                    lines.append(
+                        "| {} | {} | {:.0f} | {:.0f} | {:.2f}x |".format(
+                            name, rep, modes["riccati_planes"],
+                            modes["riccati_matrix"],
+                            modes["riccati_planes"] / modes["riccati_matrix"],
+                        )
+                    )
 
     # power-only vs complex-restore scan A/B (benchmarks/power_ab.py artifact)
     power_path = os.path.join(
