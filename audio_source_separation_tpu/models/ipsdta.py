@@ -45,13 +45,23 @@ from ..ops.fast_linalg import (
     batched_eigvalsh,
     batched_inv,
     batched_log_abs_det,
+    compact_entry,
+    expand_hermitian_compact_trailing,
+    hermitian_compact_from_entries,
     inv_planes,
     matmul_planes,
     matmul_small,
+    psd_inv_hermitian_compact,
     psd_inv_planes,
+    psd_parts_hermitian_compact,
     psd_parts_planes,
+    square_hermitian_compact,
 )
-from ..ops.ip_components import det_components, solve_column_components
+from ..ops.ip_components import (
+    _plane_index,
+    det_components,
+    solve_column_components,
+)
 from ..utils.flooring import floor_below
 from ..utils.linalg import to_psd
 from .iva import IVABase
@@ -286,6 +296,12 @@ class IPSDTABase(IVABase):
         # K = 2 matrix-pencil source streams (round 5) — flipped per class
         # after the on-chip A/B; see ``_update_source_mm_pencil``
         self.source_pencil = False
+        # compact-Hermitian planes source streams (round 5): R, R⁻¹, R⁻² and
+        # every trace contraction on B² REAL planes (half the streamed bytes
+        # of the complex planes path, real GEMMs instead of complex) — see
+        # ``_update_source_mm_compact``.  Bit-parity-tested toggle; default
+        # settled by on-chip A/B (benchmarks/compact_ab.py).
+        self.source_compact = False
 
 
 class GaussIPSDTA(IPSDTABase):
@@ -714,6 +730,194 @@ class GaussIPSDTA(IPSDTABase):
                 for i in range(B)
                 for j in range(B)
             ).real
+            num_rows.append(zUz + tr_inv2_d)
+            den_rows.append(den)
+        num = jnp.maximum(jnp.stack(num_rows), 0)
+        den = floor_below(jnp.stack(den_rows), eps)
+        V_new = V * jnp.sqrt(num / den)
+        return dict(state, activation=V_new)
+
+    # ------------------------------------------------------------------ #
+    # source model — compact-Hermitian planes (round 5).  The planes source
+    # steps above stream COMPLEX (B, B) entry planes for fields that are all
+    # Hermitian (R, R⁻¹, R⁻², the zzᴴ outer products, S_k/T_k/A_k and every
+    # trace contraction): B² complex planes where B² REAL planes suffice
+    # (diagonals + one (re, im) pair per c < d — the ``_plane_index``
+    # convention the IP components already use).  These duals halve the
+    # streamed bytes of the measured-dominant source stage
+    # (benchmarks/STAGES.json: 8.5 of 8.9 ms/iteration for Kondo) and turn
+    # every frame contraction into a REAL GEMM.  Math identical
+    # entry-by-entry (same closed forms, ``ops/fast_linalg`` compact duals);
+    # gated by ``self.source_compact`` (on-chip A/B, benchmarks/compact_ab.py).
+    # ------------------------------------------------------------------ #
+    def _source_compact_preamble(self, state, layout):
+        """Shared compact operands: ``U (S, K, nb, B, B)`` (for the tiny
+        basis-chain matmuls), its compact planes ``UC (S, K, B², nb)``
+        (real), ``YP (B, S, T, nb)`` (complex, zero-padded), and the compact
+        identity pad ``padC (B², nb)``."""
+        U = self._U_kmajor(state)  # (S, K, nb, B, B)
+        B = layout.block_size
+        UP = jnp.transpose(U, (0, 1, 3, 4, 2))  # (S, K, B, B, nb)
+        UC = jnp.moveaxis(
+            hermitian_compact_from_entries(lambda c, d: UP[:, :, c, d], B),
+            0,
+            2,
+        )  # (S, K, B², nb)
+        y = self._y_blocks(state["estimation"], layout)  # (S, T, nb, B)
+        YP = jnp.transpose(y, (3, 0, 1, 2))  # (B, S, T, nb)
+        invf = jnp.transpose(~layout.valid).astype(U.real.dtype)  # (B, nb)
+        padC = jnp.concatenate(
+            [invf, jnp.zeros((B * B - B,) + invf.shape[1:], invf.dtype)]
+        )
+        return U, UC, YP, padC
+
+    def _source_R_inv_compact(self, UC_n, V_n, padC, psd, eps):
+        """Compact dual of :meth:`_source_R_inv_planes`: per-source
+        ``R = Σ_k U_k V_kt`` (identity-padded, to_psd) and its adjugate
+        inverse as B² real planes ``(B², T, nb)`` (barriered — same
+        multi-consumer lever)."""
+        RC = jnp.einsum("kpb,kt->ptb", UC_n, V_n)  # real GEMM per plane
+        RC = RC + padC[:, None, :]
+        RC, _ = psd_parts_hermitian_compact(RC, eps=eps)
+        return jax.lax.optimization_barrier(
+            psd_inv_hermitian_compact(RC, eps=eps, psd=psd)
+        )
+
+    @staticmethod
+    def _solve_y_compact(IC, YP_n):
+        """``z = R⁻¹y`` as B complex planes ``(T, nb)`` from compact R⁻¹."""
+        B = int(round(IC.shape[0] ** 0.5))
+        return jax.lax.optimization_barrier(
+            [
+                sum(compact_entry(IC, i, j) * YP_n[j] for j in range(B))
+                for i in range(B)
+            ]
+        )
+
+    @staticmethod
+    def _trace_contract_compact(UC_n, planes, conjugate):
+        """``Σ_ij U_ij P_ij`` (``conjugate=False``) or ``Σ_ij Ū_ij P_ij``
+        (``conjugate=True``) for compact Hermitian ``U (K, B², nb)`` and
+        ``P (B², T, nb)`` — a real scalar per (k, t), so the whole double sum
+        is ONE real GEMM with ±2 off-diagonal weights (the conjugate-pair
+        terms collapse to ``2·Re``)."""
+        B = int(round(planes.shape[0] ** 0.5))
+        _, order = _plane_index(B)
+        w = [
+            1.0
+            if c == d
+            else (2.0 if kind == "re" or conjugate else -2.0)
+            for kind, c, d in order
+        ]
+        wts = jnp.asarray(w, UC_n.dtype)
+        return jnp.einsum("kpb,ptb->kt", UC_n * wts[None, :, None], planes)
+
+    def _update_source_em_compact(self, state, layout):
+        """Compact dual of :meth:`_update_source_em_planes` (Ikeshita)."""
+        eps = self.eps
+        V = state["activation"]  # (S, K, T)
+        n_bins = state["input"].shape[1]
+        n_sources = V.shape[0]
+        n_frames = V.shape[-1]
+        U, UC, YP, padC = self._source_compact_preamble(state, layout)
+        B = layout.block_size
+
+        # --- basis:  U_new,k = U_k A_k U_k + U_k,
+        # A_k = mean_t V (zz^H − R⁻¹) accumulated on compact planes
+        A_rows = []
+        for n in range(n_sources):
+            IC = self._source_R_inv_compact(UC[n], V[n], padC, False, eps)
+            Z = self._solve_y_compact(IC, YP[:, n])
+            AC = (
+                hermitian_compact_from_entries(
+                    lambda c, d: Z[c] * Z[d].conj(), B
+                )
+                - IC
+            )
+            A_rows.append(jnp.einsum("kt,ptb->kpb", V[n], AC))
+        A = expand_hermitian_compact_trailing(
+            jnp.transpose(jnp.stack(A_rows), (0, 1, 3, 2)), B
+        ) / n_frames  # (S, K, nb, B, B)
+        U_new = U @ A @ U + U
+        U_new = to_psd(layout.zero_padding_matrix(U_new), eps=eps)
+        U_new = layout.zero_padding_matrix(U_new)
+        state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
+
+        # --- activation: V_new = [V²(z^H U z) + V·n_bins − V²·tr(R⁻¹U)]/n_bins
+        U, UC, YP, padC = self._source_compact_preamble(state, layout)
+        zUz_rows, trRU_rows = [], []
+        for n in range(n_sources):
+            IC = self._source_R_inv_compact(UC[n], V[n], padC, False, eps)
+            Z = self._solve_y_compact(IC, YP[:, n])
+            Pz = hermitian_compact_from_entries(
+                lambda c, d: Z[c].conj() * Z[d], B
+            )
+            zUz_rows.append(self._trace_contract_compact(UC[n], Pz, False))
+            trRU_rows.append(self._trace_contract_compact(UC[n], IC, True))
+        zUz = jnp.stack(zUz_rows)  # (S, K, T)
+        trRU = jnp.stack(trRU_rows)
+        V_new = (V**2 * zUz + V * n_bins - V**2 * trRU) / n_bins
+        return dict(state, activation=jnp.maximum(V_new, 0.0))
+
+    def _update_source_mm_compact(self, state, layout):
+        """Compact dual of :meth:`_update_source_mm_planes` (Kondo)."""
+        eps = self.eps
+        V = state["activation"]
+        n_sources = V.shape[0]
+        U, UC, YP, padC = self._source_compact_preamble(state, layout)
+        B = layout.block_size
+        pad_diag = (~layout.valid).astype(U.real.dtype)[..., None] * jnp.eye(
+            B, dtype=U.dtype
+        )
+
+        # --- basis (matrix-sqrt chain on the SMALL (S, K, nb, B, B)
+        # statistics; S_k/T_k accumulate over frames on compact planes)
+        Sk_rows, Tk_rows = [], []
+        for n in range(n_sources):
+            IC = self._source_R_inv_compact(UC[n], V[n], padC, True, eps)
+            Z = self._solve_y_compact(IC, YP[:, n])
+            inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
+            SC = (
+                hermitian_compact_from_entries(
+                    lambda c, d: Z[c] * Z[d].conj(), B
+                )
+                + eps * inv2
+            )
+            Sk_rows.append(jnp.einsum("kt,ptb->kpb", V[n], SC))
+            Tk_rows.append(jnp.einsum("kt,ptb->kpb", V[n], IC))
+        S_k = expand_hermitian_compact_trailing(
+            jnp.transpose(jnp.stack(Sk_rows), (0, 1, 3, 2)), B
+        )
+        T_k = expand_hermitian_compact_trailing(
+            jnp.transpose(jnp.stack(Tk_rows), (0, 1, 3, 2)), B
+        )
+
+        sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
+        _, inv_sqrt = _sqrt_and_invsqrt_after_psd(
+            sqrt_S @ U @ T_k @ U @ sqrt_S, pad_diag, eps=eps
+        )
+        U_new = to_psd(U @ sqrt_S @ inv_sqrt @ sqrt_S @ U, eps=eps)
+        U_new = layout.zero_padding_matrix(U_new)
+        state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
+
+        # --- activation (trace ratio): num = z^H U z + d·tr(U R⁻²),
+        # den = tr(R⁻¹U) — three real GEMMs per source
+        U, UC, YP, padC = self._source_compact_preamble(state, layout)
+        num_rows, den_rows = [], []
+        for n in range(n_sources):
+            IC = self._source_R_inv_compact(UC[n], V[n], padC, True, eps)
+            Z = self._solve_y_compact(IC, YP[:, n])
+            ynorm = sum((YP[i, n].conj() * YP[i, n]).real for i in range(B))
+            d = eps + eps * (ynorm + B * eps)  # (T, nb)
+            inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
+            Pz = hermitian_compact_from_entries(
+                lambda c, dd: Z[c].conj() * Z[dd], B
+            )
+            zUz = self._trace_contract_compact(UC[n], Pz, False)
+            tr_inv2_d = self._trace_contract_compact(
+                UC[n], inv2 * d[None], True
+            )
+            den = self._trace_contract_compact(UC[n], IC, True)
             num_rows.append(zUz + tr_inv2_d)
             den_rows.append(den)
         num = jnp.maximum(jnp.stack(num_rows), 0)
@@ -1322,9 +1526,12 @@ class GaussIPSDTA(IPSDTABase):
         # blocks (e.g. the 256-block quality geometry, B = 9) stay on the
         # matrix path with its iterative eigh
         planes = self.source_planes and layout.block_size <= 3
+        compact = planes and self.source_compact
         if self.algorithm_source == "em":
             state = (
-                self._update_source_em_planes
+                self._update_source_em_compact
+                if compact
+                else self._update_source_em_planes
                 if planes
                 else self._update_source_em
             )(state, layout)
@@ -1337,6 +1544,8 @@ class GaussIPSDTA(IPSDTABase):
             state = (
                 self._update_source_mm_pencil
                 if pencil
+                else self._update_source_mm_compact
+                if compact
                 else self._update_source_mm_planes
                 if planes
                 else self._update_source_mm
@@ -1600,6 +1809,78 @@ class TIPSDTA(GaussIPSDTA):
                 for i in range(B)
                 for j in range(B)
             ).real
+            num_rows.append(pi2[None, :] * (zUz + tr_inv2_e))
+            den_rows.append(den)
+        num = jnp.maximum(jnp.stack(num_rows), 0)
+        den = floor_below(jnp.stack(den_rows), eps)
+        V_new = V * jnp.sqrt(num / den)
+        return dict(state, activation=V_new)
+
+    def _pi_weight_compact(self, n, UC, YP, V, padC, n_bins, eps):
+        """Compact dual of :meth:`_pi_weight_planes` for one source."""
+        B = int(round(UC.shape[2] ** 0.5))
+        IC = self._source_R_inv_compact(UC[n], V[n], padC, False, eps)
+        Z = self._solve_y_compact(IC, YP[:, n])
+        yRy = sum((YP[i, n].conj() * Z[i]).real for i in range(B)).sum(axis=-1)
+        return (self.nu + 2 * n_bins) / (self.nu + 2 * yRy)
+
+    def _update_source_mm_compact(self, state, layout):
+        """Compact-Hermitian dual of the t-MM source step: the Gauss compact
+        MM with the posterior weight π folded into the frame statistics."""
+        eps = self.eps
+        V = state["activation"]
+        n_sources = V.shape[0]
+        n_bins = state["input"].shape[1]
+        U, UC, YP, padC = self._source_compact_preamble(state, layout)
+        B = layout.block_size
+        pad_diag = (~layout.valid).astype(U.real.dtype)[..., None] * jnp.eye(
+            B, dtype=U.dtype
+        )
+
+        Sk_rows, Tk_rows = [], []
+        for n in range(n_sources):
+            pi = self._pi_weight_compact(n, UC, YP, V, padC, n_bins, eps)
+            IC = self._source_R_inv_compact(UC[n], V[n], padC, True, eps)
+            Z = self._solve_y_compact(IC, YP[:, n])
+            inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
+            SC = (
+                hermitian_compact_from_entries(
+                    lambda c, d: Z[c] * Z[d].conj(), B
+                )
+                + eps * inv2
+            )
+            Vp = V[n] * pi[None, :]
+            Sk_rows.append(jnp.einsum("kt,ptb->kpb", Vp, SC))
+            Tk_rows.append(jnp.einsum("kt,ptb->kpb", V[n], IC))
+        S_k = expand_hermitian_compact_trailing(
+            jnp.transpose(jnp.stack(Sk_rows), (0, 1, 3, 2)), B
+        )
+        T_k = expand_hermitian_compact_trailing(
+            jnp.transpose(jnp.stack(Tk_rows), (0, 1, 3, 2)), B
+        )
+
+        sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
+        _, inv_sqrt = _sqrt_and_invsqrt_after_psd(
+            sqrt_S @ U @ T_k @ U @ sqrt_S, pad_diag, eps=eps
+        )
+        U_new = to_psd(U @ sqrt_S @ inv_sqrt @ sqrt_S @ U, eps=eps)
+        U_new = layout.zero_padding_matrix(U_new)
+        state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
+
+        # activation: π recomputed with the updated basis, applied to num
+        U, UC, YP, padC = self._source_compact_preamble(state, layout)
+        num_rows, den_rows = [], []
+        for n in range(n_sources):
+            pi2 = self._pi_weight_compact(n, UC, YP, V, padC, n_bins, eps)
+            IC = self._source_R_inv_compact(UC[n], V[n], padC, True, eps)
+            Z = self._solve_y_compact(IC, YP[:, n])
+            inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
+            Pz = hermitian_compact_from_entries(
+                lambda c, dd: Z[c].conj() * Z[dd], B
+            )
+            zUz = self._trace_contract_compact(UC[n], Pz, False)
+            tr_inv2_e = self._trace_contract_compact(UC[n], eps * inv2, True)
+            den = self._trace_contract_compact(UC[n], IC, True)
             num_rows.append(pi2[None, :] * (zUz + tr_inv2_e))
             den_rows.append(den)
         num = jnp.maximum(jnp.stack(num_rows), 0)

@@ -578,3 +578,102 @@ def expand_hermitian_compact_trailing(small, n):
     return jnp.stack(
         [jnp.stack([ent(c, d) for d in range(n)], -1) for c in range(n)], -2
     )
+
+
+def trace_hermitian_compact(planes):
+    """Real trace of a compact Hermitian field ``(n², ...) → (...)`` — the
+    sum of the leading ``n`` diagonal planes."""
+    n = int(round(planes.shape[0] ** 0.5))
+    tr = planes[0]
+    for i in range(1, n):
+        tr = tr + planes[i]
+    return tr
+
+
+def eigvalsh_hermitian_compact(planes):
+    """Eigenvalues (ascending, stacked leading) of a compact Hermitian field
+    ``(n², ...) → (n, ...)`` — the compact dual of
+    :func:`hermitian_eigvalsh_planes` (same closed forms, n ≤ 3), with
+    ``|b|²`` taken directly from the (re, im) planes (no complex abs)."""
+    n = int(round(planes.shape[0] ** 0.5))
+    if n == 1:
+        return planes[:1]
+    if n == 2:
+        a, d, br, bi = planes[0], planes[1], planes[2], planes[3]
+        mean = (a + d) / 2
+        rad = jnp.sqrt(((a - d) / 2) ** 2 + br * br + bi * bi)
+        return jnp.stack([mean - rad, mean + rad])
+    if n == 3:
+        q = (planes[0] + planes[1] + planes[2]) / 3
+        p1 = (
+            planes[3] ** 2
+            + planes[4] ** 2
+            + planes[5] ** 2
+            + planes[6] ** 2
+            + planes[7] ** 2
+            + planes[8] ** 2
+        )
+        d0 = planes[0] - q
+        d1 = planes[1] - q
+        d2 = planes[2] - q
+        p2 = d0**2 + d1**2 + d2**2 + 2 * p1
+        degenerate = p2 <= 0
+        p = jnp.sqrt(jnp.where(degenerate, 1.0, p2) / 6)
+        # det((M − q·I)/p) = det(M − q·I)/p³ — real by Hermiticity
+        r = jnp.clip(
+            det_hermitian_compact(planes, ridge=-q) / (2 * p**3), -1.0, 1.0
+        )
+        phi = jnp.arccos(r) / 3
+        two_pi_3 = 2 * jnp.pi / 3
+        e_hi = q + 2 * p * jnp.cos(phi)
+        e_lo = q + 2 * p * jnp.cos(phi + two_pi_3)
+        e_mid = 3 * q - e_hi - e_lo
+        eigs = jnp.stack([e_lo, e_mid, e_hi])
+        return jnp.where(degenerate[None], q[None], eigs)
+    raise ValueError(
+        "eigvalsh_hermitian_compact: closed forms cover n <= 3, got {}".format(n)
+    )
+
+
+def add_diag_hermitian_compact(planes, s):
+    """Add the real plane ``s (...)`` to the diagonal planes of a compact
+    Hermitian field ``(n², ...)``."""
+    n = int(round(planes.shape[0] ** 0.5))
+    return jnp.concatenate([planes[:n] + s[None], planes[n:]])
+
+
+def psd_parts_hermitian_compact(planes, eps=1e-12):
+    """Compact dual of :func:`psd_parts_planes` (the reference ``to_PSD``
+    chain — shift by the most negative eigenvalue, ``eps·trace`` ridge);
+    hermitization is implicit in the storage.  Returns
+    ``(to_psd(M), eigenvalues-of-the-projection)``."""
+    w = eigvalsh_hermitian_compact(planes)
+    delta = jnp.minimum(jnp.min(w, axis=0), 0)
+    shift = eps * trace_hermitian_compact(planes) - delta
+    return add_diag_hermitian_compact(planes, shift), w + shift[None]
+
+
+def psd_inv_hermitian_compact(planes, eps=1e-12, psd=True):
+    """Compact dual of :func:`psd_inv_planes` — adjugate inverse over the
+    REAL Hermitian determinant, plus the reference's trailing ``to_psd``
+    ridge (``eps·trace``) when ``psd=True``."""
+    inv = inv_hermitian_compact(planes)
+    if psd:
+        inv = add_diag_hermitian_compact(
+            inv, eps * trace_hermitian_compact(inv)
+        )
+    return inv
+
+
+def square_hermitian_compact(planes):
+    """Compact planes of ``M @ M`` for compact Hermitian ``M`` (Hermitian:
+    ``(MM)ᴴ = MᴴMᴴ = MM``)."""
+    n = int(round(planes.shape[0] ** 0.5))
+
+    def ent(c, d):
+        return sum(
+            compact_entry(planes, c, k) * compact_entry(planes, k, d)
+            for k in range(n)
+        )
+
+    return hermitian_compact_from_entries(ent, n)

@@ -264,6 +264,60 @@ def test_source_planes_full_solver_parity(rng):
 
 
 # --------------------------------------------------------------------------- #
+# compact-Hermitian planes source steps vs complex planes (round 5; same
+# closed forms restated on B² real planes — ulp-level FP reassociation only)
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize(
+    "cls,kw",
+    [
+        (GaussIPSDTA, {"author": "Kondo"}),
+        (GaussIPSDTA, {"author": "Ikeshita"}),
+        (TIPSDTA, {"nu": 1.0}),
+    ],
+    ids=["kondo-mm", "ikeshita-em", "t-mm-nu1"],
+)
+def test_source_compact_matches_planes(rng, cls, kw):
+    solver, state = _vcd_state(rng, cls, n_bins=10, n_blocks=4, **kw)
+    layout = solver._layout(10)
+    assert layout.block_size == 3 and layout.n_remains > 0  # pad slots live
+    if solver.algorithm_source == "em":
+        out_p = solver._update_source_em_planes(state, layout)
+        out_c = solver._update_source_em_compact(state, layout)
+    else:
+        out_p = solver._update_source_mm_planes(state, layout)
+        out_c = solver._update_source_mm_compact(state, layout)
+    for key in ("basis", "activation"):
+        np.testing.assert_allclose(
+            np.asarray(out_c[key]),
+            np.asarray(out_p[key]),
+            atol=1e-10,
+            rtol=1e-8,
+        )
+
+
+@pytest.mark.parametrize(
+    "cls,kw",
+    [
+        (GaussIPSDTA, {"author": "Kondo"}),
+        (GaussIPSDTA, {"author": "Ikeshita"}),
+        (TIPSDTA, {"nu": 1.0}),
+    ],
+    ids=["kondo-mm", "ikeshita-em", "t-mm-nu1"],
+)
+def test_source_compact_full_solver_parity(rng, cls, kw):
+    """The source_compact toggle is output-invariant through the full jitted
+    solver (3 iterations, remainder-block geometry)."""
+    X = (rng.randn(2, 10, 6) + 1j * rng.randn(2, 10, 6)).astype(np.complex128)
+    outs = []
+    for flag in (False, True):
+        solver = cls(n_basis=2, n_blocks=4, recordable_loss=False, **kw)
+        solver.source_compact = flag
+        np.random.seed(111)
+        outs.append(np.asarray(solver(X, iteration=3)))
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-9, rtol=1e-7)
+
+
+# --------------------------------------------------------------------------- #
 # K = 2 pencil source streams vs planes layout (round 5; documented-divergence
 # guards: frame-relative pencil eigenvalue floor stands in for to_psd+adjugate)
 # --------------------------------------------------------------------------- #
