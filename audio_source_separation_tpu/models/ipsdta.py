@@ -48,6 +48,7 @@ from ..ops.fast_linalg import (
     compact_entry,
     expand_hermitian_compact_trailing,
     hermitian_compact_from_entries,
+    inv_hermitian_compact,
     inv_planes,
     matmul_planes,
     matmul_small,
@@ -1129,13 +1130,26 @@ class GaussIPSDTA(IPSDTABase):
 
     def _vcd_source_invariants_planes(self, state, layout):
         """Per-source sweep invariants in planes layout: the to_psd-projected
-        source-covariance inverses ``RinvP (S, B, B, T, nb)`` and their real
-        diagonals ``(S, B, T, nb)``."""
+        source-covariance inverses — entry accessor ``Rinv(n, i, j)`` (complex
+        ``(T, nb)`` plane) plus real diagonals ``diag(n, j)``.  With
+        ``source_compact`` the inverses materialize as B² REAL planes (half
+        the bytes every one of the ``spatial_iteration`` sweeps re-reads);
+        otherwise as complex ``(B, B, T, nb)`` planes."""
         eps = self.eps
         U = self._U_kmajor(state)  # (S, K, nb, B, B)
         V = state["activation"]  # (S, K, T)
         B = layout.block_size
         n_sources = U.shape[0]
+        if self.source_compact:
+            _, UC, _, padC = self._source_compact_preamble(state, layout)
+            IC_all = [
+                self._source_R_inv_compact(UC[n], V[n], padC, True, eps)
+                for n in range(n_sources)
+            ]
+            return (
+                lambda n, i, j: compact_entry(IC_all[n], i, j),
+                lambda n, j: IC_all[n][j],
+            )
         UP = jnp.transpose(U, (0, 1, 3, 4, 2))  # (S, K, B, B, nb)
         invf = jnp.transpose(~layout.valid).astype(U.real.dtype)  # (B, nb)
         padP = jnp.eye(B, dtype=U.dtype)[:, :, None] * invf[None]  # (B, B, nb)
@@ -1149,7 +1163,10 @@ class GaussIPSDTA(IPSDTABase):
             diag_all.append(
                 jnp.stack([RinvP[j, j].real for j in range(B)])
             )  # (B, T, nb)
-        return Rinv_all, diag_all
+        return (
+            lambda n, i, j: Rinv_all[n][i, j],
+            lambda n, j: diag_all[n][j],
+        )
 
     @staticmethod
     def _vcd_q_planes(wxt, XP_j, n_frames, n_channels, eps):
@@ -1230,7 +1247,9 @@ class GaussIPSDTA(IPSDTABase):
         n_frames = X.shape[-1]
 
         XP, WP0, validB = self._vcd_data_planes(state, layout)
-        Rinv_all, diag_all = self._vcd_source_invariants_planes(state, layout)
+        Rinv_entry, Rinv_diag = self._vcd_source_invariants_planes(
+            state, layout
+        )
 
         # Q and its adjugate inverse are sweep-invariant in the Gauss VCD
         Q_all, Qinv_all = [], []
@@ -1238,7 +1257,7 @@ class GaussIPSDTA(IPSDTABase):
             Q_n = jnp.stack(
                 [
                     self._vcd_q_planes(
-                        diag_all[n][j], XP[j], n_frames, n_channels, eps
+                        Rinv_diag(n, j), XP[j], n_frames, n_channels, eps
                     )
                     for j in range(B)
                 ]
@@ -1250,7 +1269,7 @@ class GaussIPSDTA(IPSDTABase):
 
         def sweep(_, WP):
             for n in range(n_sources):
-                RinvP, Q_n, Qinv_n = Rinv_all[n], Q_all[n], Qinv_all[n]
+                Q_n, Qinv_n = Q_all[n], Qinv_all[n]
                 Xw = jnp.stack(
                     [
                         sum(
@@ -1262,7 +1281,9 @@ class GaussIPSDTA(IPSDTABase):
                 )  # (B, T, nb)
                 for j in range(B):
                     coupled = sum(
-                        RinvP[i, j] * Xw[i] for i in range(B) if i != j
+                        Rinv_entry(n, i, j) * Xw[i]
+                        for i in range(B)
+                        if i != j
                     )
                     gamma = [
                         jnp.sum(coupled * XP[j, c], axis=0) / n_frames
@@ -1409,28 +1430,52 @@ class GaussIPSDTA(IPSDTABase):
         if self.source_planes and B <= 3:
             # planes dual: R̄⁻¹ entries and the blocked mixture stay
             # fully-tiled (T, nb) planes; each G entry is one fused
-            # multiply + frame reduction
+            # multiply + frame reduction.  With ``source_compact`` the
+            # inverse is held as B² REAL planes (``R̄⁻¹ = conj(R⁻¹)`` for
+            # Hermitian R — the conj is a lazy im-plane sign flip).
             UP = jnp.transpose(U, (0, 1, 3, 4, 2))  # (S, K, B, B, nb)
             invf = jnp.transpose(~layout.valid).astype(U.real.dtype)
-            padP = jnp.eye(B, dtype=U.dtype)[:, :, None] * invf[None]
             XP, _, _ = self._vcd_data_planes(state, layout)  # (B, C, T, nb)
+            if self.source_compact:
+                UC = jnp.moveaxis(
+                    hermitian_compact_from_entries(
+                        lambda c, d: UP[:, :, c, d], B
+                    ),
+                    0,
+                    2,
+                )  # (S, K, B², nb)
+                padC = jnp.concatenate(
+                    [invf, jnp.zeros((B * B - B,) + invf.shape[1:], invf.dtype)]
+                )
+            else:
+                padP = jnp.eye(B, dtype=U.dtype)[:, :, None] * invf[None]
             G_rows = []
             for n in range(n_sources):
-                RP = jnp.einsum(
-                    "kijb,kt->ijtb", UP[n], V[n].astype(U.dtype)
-                )
-                RP = RP + padP[:, :, None, :]
-                RP, _ = _psd_parts_planes(RP, eps=eps)
-                RcInv = inv_planes(
-                    add_diag_planes(
-                        jnp.conj(RP), jnp.full(RP.shape[2:], eps)
+                if self.source_compact:
+                    RC = jnp.einsum("kpb,kt->ptb", UC[n], V[n])
+                    RC = RC + padC[:, None, :]
+                    RC, _ = psd_parts_hermitian_compact(RC, eps=eps)
+                    ICe = jax.lax.optimization_barrier(
+                        inv_hermitian_compact(RC, ridge=eps)
                     )
-                )  # (B, B, T, nb)
+                    entry = lambda j, k: compact_entry(ICe, j, k).conj()  # noqa: E731
+                else:
+                    RP = jnp.einsum(
+                        "kijb,kt->ijtb", UP[n], V[n].astype(U.dtype)
+                    )
+                    RP = RP + padP[:, :, None, :]
+                    RP, _ = _psd_parts_planes(RP, eps=eps)
+                    RcInv = inv_planes(
+                        add_diag_planes(
+                            jnp.conj(RP), jnp.full(RP.shape[2:], eps)
+                        )
+                    )  # (B, B, T, nb)
+                    entry = lambda j, k: RcInv[j, k]  # noqa: E731
                 rows = [
                     [
                         jnp.einsum(
                             "tb,tb->b",
-                            RcInv[j, k] * XP[j, c],
+                            entry(j, k) * XP[j, c],
                             XP[k, d].conj(),
                         )
                         for k in range(B)
@@ -1571,6 +1616,37 @@ class GaussIPSDTA(IPSDTABase):
         layout = self._layout(state["input"].shape[1])
         X, W = state["input"], state["demix_filter"]
         n_frames = X.shape[-1]
+        logdet_W = batched_log_abs_det(W)
+        if (
+            self.source_planes
+            and self.source_compact
+            and layout.block_size <= 3
+        ):
+            # compact dual: the whole per-frame chain on B² real planes —
+            # the matrix path materializes (S, T, nb, B, B) tensors whose
+            # B ≤ 3 minors pad to the 8×128 tile
+            V = state["activation"]
+            n_sources = V.shape[0]
+            _, UC, YP, padC = self._source_compact_preamble(state, layout)
+            B = layout.block_size
+            total = 0.0
+            for n in range(n_sources):
+                RC = jnp.einsum("kpb,kt->ptb", UC[n], V[n])
+                RC = RC + padC[:, None, :]
+                RC, w = psd_parts_hermitian_compact(RC, eps=eps)
+                IC = psd_inv_hermitian_compact(RC, eps=eps, psd=True)
+                Z = [
+                    sum(compact_entry(IC, i, j) * YP[j, n] for j in range(B))
+                    for i in range(B)
+                ]
+                yRy = sum(
+                    (YP[i, n].conj() * Z[i]).real for i in range(B)
+                ).sum(axis=-1)  # (T,)
+                # padded dims contribute log(1) = 0 via the injected identity
+                logdet = jnp.log(jnp.maximum(w, eps)).sum(axis=(0, -1))  # (T,)
+                total = total + jnp.sum(yRy + logdet)
+            return total - 2 * n_frames * logdet_W.sum()
+
         Y = state["estimation"]  # == separate(X, W) (update invariant)
         y = self._y_blocks(Y, layout)
         U = self._U_kmajor(state)
@@ -1586,7 +1662,6 @@ class GaussIPSDTA(IPSDTABase):
         # padded dims contribute log(1) = 0 via the injected identity
         logdet_R = jnp.log(jnp.maximum(wR, eps)).sum(axis=(-2, -1))  # (S, T)
 
-        logdet_W = batched_log_abs_det(W)
         return jnp.sum(yRy + logdet_R) - 2 * n_frames * logdet_W.sum()
 
     @_f32_matmuls
@@ -2013,11 +2088,12 @@ class TIPSDTA(GaussIPSDTA):
         n_frames = X.shape[-1]
 
         XP, WP0, validB = self._vcd_data_planes(state, layout)
-        Rinv_all, diag_all = self._vcd_source_invariants_planes(state, layout)
+        Rinv_entry, Rinv_diag = self._vcd_source_invariants_planes(
+            state, layout
+        )
 
         def sweep(_, WP):
             for n in range(n_sources):
-                RinvP, diag = Rinv_all[n], diag_all[n]
                 Xw = jnp.stack(
                     [
                         sum(
@@ -2032,7 +2108,7 @@ class TIPSDTA(GaussIPSDTA):
                     # π = (ν + 2F) / (ν + 2·y^H R⁻¹ y), y = conj(Xw)
                     y = [Xw[i].conj() for i in range(B)]
                     z = [
-                        sum(RinvP[i, k] * y[k] for k in range(B))
+                        sum(Rinv_entry(n, i, k) * y[k] for k in range(B))
                         for i in range(B)
                     ]
                     yRy = sum(
@@ -2040,14 +2116,16 @@ class TIPSDTA(GaussIPSDTA):
                     ).sum(axis=1)  # (T,)
                     pi_n = (nu + 2 * n_bins) / (nu + 2 * yRy)  # (T,)
 
-                    wxt = pi_n[:, None] * diag[j]  # (T, nb)
+                    wxt = pi_n[:, None] * Rinv_diag(n, j)  # (T, nb)
                     Q_j = self._vcd_q_planes(
                         wxt, XP[j], n_frames, n_channels, eps
                     )
                     Qinv_j = inv_planes(Q_j)
 
                     coupled = pi_n[:, None].astype(XP.dtype) * sum(
-                        RinvP[i, j] * Xw[i] for i in range(B) if i != j
+                        Rinv_entry(n, i, j) * Xw[i]
+                        for i in range(B)
+                        if i != j
                     )
                     gamma = [
                         jnp.sum(coupled * XP[j, c], axis=0) / n_frames

@@ -299,6 +299,70 @@ def test_source_compact_matches_planes(rng, cls, kw):
     "cls,kw",
     [
         (GaussIPSDTA, {"author": "Kondo"}),
+        (TIPSDTA, {"nu": 3.0}),
+    ],
+    ids=["kondo-vcd", "t-vcd"],
+)
+def test_spatial_vcd_compact_matches_planes(rng, cls, kw):
+    """The VCD sweeps read the source R⁻¹ invariants through the compact
+    accessor — identical demixers either way."""
+    solver, state = _vcd_state(rng, cls, n_bins=10, n_blocks=4, **kw)
+    layout = solver._layout(10)
+    solver.source_compact = False
+    out_p = solver._update_spatial_vcd_planes(state, layout, n_spatial=2)
+    solver.source_compact = True
+    out_c = solver._update_spatial_vcd_planes(state, layout, n_spatial=2)
+    np.testing.assert_allclose(
+        np.asarray(out_c["demix_filter"]),
+        np.asarray(out_p["demix_filter"]),
+        atol=1e-10,
+        rtol=1e-8,
+    )
+
+
+@pytest.mark.parametrize(
+    "cls,kw",
+    [
+        (GaussIPSDTA, {"author": "Kondo"}),
+        (TIPSDTA, {"nu": 3.0}),
+    ],
+    ids=["gauss", "t"],
+)
+def test_nll_compact_matches_matrix(rng, cls, kw):
+    """The compact-planes NLL equals the matrix-layout NLL (same eigvalsh
+    floors, same ridge chain)."""
+    solver, state = _vcd_state(rng, cls, n_bins=10, n_blocks=4, **kw)
+    solver.source_compact = False
+    nll_m = float(solver.nll(state))
+    solver.source_compact = True
+    nll_c = float(solver.nll(state))
+    np.testing.assert_allclose(nll_c, nll_m, rtol=1e-10)
+
+
+def test_fixed_point_compact_matches_planes(rng):
+    """Ikeshita fixed-point spatial statistics G through the compact
+    R̄⁻¹ = conj(R⁻¹) planes."""
+    solver, state = _vcd_state(
+        rng, GaussIPSDTA, n_bins=10, n_blocks=4, author="Ikeshita"
+    )
+    layout = solver._layout(10)
+    solver.source_compact = False
+    out_p = solver._update_spatial_fixed_point(state, layout)
+    solver.source_compact = True
+    out_c = solver._update_spatial_fixed_point(state, layout)
+    for key in ("demix_filter", "fixed_point", "estimation"):
+        np.testing.assert_allclose(
+            np.asarray(out_c[key]),
+            np.asarray(out_p[key]),
+            atol=1e-10,
+            rtol=1e-8,
+        )
+
+
+@pytest.mark.parametrize(
+    "cls,kw",
+    [
+        (GaussIPSDTA, {"author": "Kondo"}),
         (GaussIPSDTA, {"author": "Ikeshita"}),
         (TIPSDTA, {"nu": 1.0}),
     ],
