@@ -772,36 +772,38 @@ class GaussIPSDTA(IPSDTABase):
         )
         return U, UC, YP, padC
 
-    def _source_R_inv_compact(self, UC_n, V_n, padC, psd, eps):
-        """Compact dual of :meth:`_source_R_inv_planes`: per-source
-        ``R = Σ_k U_k V_kt`` (identity-padded, to_psd) and its adjugate
-        inverse as B² real planes ``(B², T, nb)`` (barriered — same
-        multi-consumer lever)."""
-        RC = jnp.einsum("kpb,kt->ptb", UC_n, V_n)  # real GEMM per plane
-        RC = RC + padC[:, None, :]
+    def _source_R_inv_compact(self, UC, V, padC, psd, eps):
+        """Compact dual of :meth:`_source_R_inv_planes`, batched over
+        sources: ``R = Σ_k U_k V_kt`` (identity-padded, to_psd) and its
+        adjugate inverse as B² real planes ``(B², S, T, nb)`` (barriered —
+        same multi-consumer lever).  The source axis rides INSIDE the planes
+        so the whole chain is one kernel stream instead of S duplicates."""
+        RC = jnp.einsum("skpb,skt->pstb", UC, V)  # real GEMM per plane
+        RC = RC + padC[:, None, None, :]
         RC, _ = psd_parts_hermitian_compact(RC, eps=eps)
         return jax.lax.optimization_barrier(
             psd_inv_hermitian_compact(RC, eps=eps, psd=psd)
         )
 
     @staticmethod
-    def _solve_y_compact(IC, YP_n):
-        """``z = R⁻¹y`` as B complex planes ``(T, nb)`` from compact R⁻¹."""
+    def _solve_y_compact(IC, YP):
+        """``z = R⁻¹y`` as B complex planes ``(S, T, nb)`` from compact R⁻¹
+        ``(B², S, T, nb)``."""
         B = int(round(IC.shape[0] ** 0.5))
         return jax.lax.optimization_barrier(
             [
-                sum(compact_entry(IC, i, j) * YP_n[j] for j in range(B))
+                sum(compact_entry(IC, i, j) * YP[j] for j in range(B))
                 for i in range(B)
             ]
         )
 
     @staticmethod
-    def _trace_contract_compact(UC_n, planes, conjugate):
+    def _trace_contract_compact(UC, planes, conjugate):
         """``Σ_ij U_ij P_ij`` (``conjugate=False``) or ``Σ_ij Ū_ij P_ij``
-        (``conjugate=True``) for compact Hermitian ``U (K, B², nb)`` and
-        ``P (B², T, nb)`` — a real scalar per (k, t), so the whole double sum
-        is ONE real GEMM with ±2 off-diagonal weights (the conjugate-pair
-        terms collapse to ``2·Re``)."""
+        (``conjugate=True``) for compact Hermitian ``U (S, K, B², nb)`` and
+        ``P (B², S, T, nb)`` — a real scalar per (s, k, t), so the whole
+        double sum is ONE real GEMM with ±2 off-diagonal weights (the
+        conjugate-pair terms collapse to ``2·Re``)."""
         B = int(round(planes.shape[0] ** 0.5))
         _, order = _plane_index(B)
         w = [
@@ -810,34 +812,34 @@ class GaussIPSDTA(IPSDTABase):
             else (2.0 if kind == "re" or conjugate else -2.0)
             for kind, c, d in order
         ]
-        wts = jnp.asarray(w, UC_n.dtype)
-        return jnp.einsum("kpb,ptb->kt", UC_n * wts[None, :, None], planes)
+        wts = jnp.asarray(w, UC.dtype)
+        return jnp.einsum(
+            "skpb,pstb->skt", UC * wts[None, None, :, None], planes
+        )
 
     def _update_source_em_compact(self, state, layout):
-        """Compact dual of :meth:`_update_source_em_planes` (Ikeshita)."""
+        """Compact dual of :meth:`_update_source_em_planes` (Ikeshita),
+        source-batched."""
         eps = self.eps
         V = state["activation"]  # (S, K, T)
         n_bins = state["input"].shape[1]
-        n_sources = V.shape[0]
         n_frames = V.shape[-1]
         U, UC, YP, padC = self._source_compact_preamble(state, layout)
         B = layout.block_size
 
         # --- basis:  U_new,k = U_k A_k U_k + U_k,
         # A_k = mean_t V (zz^H − R⁻¹) accumulated on compact planes
-        A_rows = []
-        for n in range(n_sources):
-            IC = self._source_R_inv_compact(UC[n], V[n], padC, False, eps)
-            Z = self._solve_y_compact(IC, YP[:, n])
-            AC = (
-                hermitian_compact_from_entries(
-                    lambda c, d: Z[c] * Z[d].conj(), B
-                )
-                - IC
+        IC = self._source_R_inv_compact(UC, V, padC, False, eps)
+        Z = self._solve_y_compact(IC, YP)
+        AC = (
+            hermitian_compact_from_entries(
+                lambda c, d: Z[c] * Z[d].conj(), B
             )
-            A_rows.append(jnp.einsum("kt,ptb->kpb", V[n], AC))
+            - IC
+        )
         A = expand_hermitian_compact_trailing(
-            jnp.transpose(jnp.stack(A_rows), (0, 1, 3, 2)), B
+            jnp.transpose(jnp.einsum("skt,pstb->skpb", V, AC), (0, 1, 3, 2)),
+            B,
         ) / n_frames  # (S, K, nb, B, B)
         U_new = U @ A @ U + U
         U_new = to_psd(layout.zero_padding_matrix(U_new), eps=eps)
@@ -846,25 +848,21 @@ class GaussIPSDTA(IPSDTABase):
 
         # --- activation: V_new = [V²(z^H U z) + V·n_bins − V²·tr(R⁻¹U)]/n_bins
         U, UC, YP, padC = self._source_compact_preamble(state, layout)
-        zUz_rows, trRU_rows = [], []
-        for n in range(n_sources):
-            IC = self._source_R_inv_compact(UC[n], V[n], padC, False, eps)
-            Z = self._solve_y_compact(IC, YP[:, n])
-            Pz = hermitian_compact_from_entries(
-                lambda c, d: Z[c].conj() * Z[d], B
-            )
-            zUz_rows.append(self._trace_contract_compact(UC[n], Pz, False))
-            trRU_rows.append(self._trace_contract_compact(UC[n], IC, True))
-        zUz = jnp.stack(zUz_rows)  # (S, K, T)
-        trRU = jnp.stack(trRU_rows)
+        IC = self._source_R_inv_compact(UC, V, padC, False, eps)
+        Z = self._solve_y_compact(IC, YP)
+        Pz = hermitian_compact_from_entries(
+            lambda c, d: Z[c].conj() * Z[d], B
+        )
+        zUz = self._trace_contract_compact(UC, Pz, False)  # (S, K, T)
+        trRU = self._trace_contract_compact(UC, IC, True)
         V_new = (V**2 * zUz + V * n_bins - V**2 * trRU) / n_bins
         return dict(state, activation=jnp.maximum(V_new, 0.0))
 
     def _update_source_mm_compact(self, state, layout):
-        """Compact dual of :meth:`_update_source_mm_planes` (Kondo)."""
+        """Compact dual of :meth:`_update_source_mm_planes` (Kondo),
+        source-batched."""
         eps = self.eps
         V = state["activation"]
-        n_sources = V.shape[0]
         U, UC, YP, padC = self._source_compact_preamble(state, layout)
         B = layout.block_size
         pad_diag = (~layout.valid).astype(U.real.dtype)[..., None] * jnp.eye(
@@ -873,24 +871,22 @@ class GaussIPSDTA(IPSDTABase):
 
         # --- basis (matrix-sqrt chain on the SMALL (S, K, nb, B, B)
         # statistics; S_k/T_k accumulate over frames on compact planes)
-        Sk_rows, Tk_rows = [], []
-        for n in range(n_sources):
-            IC = self._source_R_inv_compact(UC[n], V[n], padC, True, eps)
-            Z = self._solve_y_compact(IC, YP[:, n])
-            inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
-            SC = (
-                hermitian_compact_from_entries(
-                    lambda c, d: Z[c] * Z[d].conj(), B
-                )
-                + eps * inv2
+        IC = self._source_R_inv_compact(UC, V, padC, True, eps)
+        Z = self._solve_y_compact(IC, YP)
+        inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
+        SC = (
+            hermitian_compact_from_entries(
+                lambda c, d: Z[c] * Z[d].conj(), B
             )
-            Sk_rows.append(jnp.einsum("kt,ptb->kpb", V[n], SC))
-            Tk_rows.append(jnp.einsum("kt,ptb->kpb", V[n], IC))
+            + eps * inv2
+        )
         S_k = expand_hermitian_compact_trailing(
-            jnp.transpose(jnp.stack(Sk_rows), (0, 1, 3, 2)), B
+            jnp.transpose(jnp.einsum("skt,pstb->skpb", V, SC), (0, 1, 3, 2)),
+            B,
         )
         T_k = expand_hermitian_compact_trailing(
-            jnp.transpose(jnp.stack(Tk_rows), (0, 1, 3, 2)), B
+            jnp.transpose(jnp.einsum("skt,pstb->skpb", V, IC), (0, 1, 3, 2)),
+            B,
         )
 
         sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
@@ -902,27 +898,21 @@ class GaussIPSDTA(IPSDTABase):
         state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
 
         # --- activation (trace ratio): num = z^H U z + d·tr(U R⁻²),
-        # den = tr(R⁻¹U) — three real GEMMs per source
+        # den = tr(R⁻¹U) — three real GEMMs total
         U, UC, YP, padC = self._source_compact_preamble(state, layout)
-        num_rows, den_rows = [], []
-        for n in range(n_sources):
-            IC = self._source_R_inv_compact(UC[n], V[n], padC, True, eps)
-            Z = self._solve_y_compact(IC, YP[:, n])
-            ynorm = sum((YP[i, n].conj() * YP[i, n]).real for i in range(B))
-            d = eps + eps * (ynorm + B * eps)  # (T, nb)
-            inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
-            Pz = hermitian_compact_from_entries(
-                lambda c, dd: Z[c].conj() * Z[dd], B
-            )
-            zUz = self._trace_contract_compact(UC[n], Pz, False)
-            tr_inv2_d = self._trace_contract_compact(
-                UC[n], inv2 * d[None], True
-            )
-            den = self._trace_contract_compact(UC[n], IC, True)
-            num_rows.append(zUz + tr_inv2_d)
-            den_rows.append(den)
-        num = jnp.maximum(jnp.stack(num_rows), 0)
-        den = floor_below(jnp.stack(den_rows), eps)
+        IC = self._source_R_inv_compact(UC, V, padC, True, eps)
+        Z = self._solve_y_compact(IC, YP)
+        ynorm = sum((YP[i].conj() * YP[i]).real for i in range(B))
+        d = eps + eps * (ynorm + B * eps)  # (S, T, nb)
+        inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
+        Pz = hermitian_compact_from_entries(
+            lambda c, dd: Z[c].conj() * Z[dd], B
+        )
+        zUz = self._trace_contract_compact(UC, Pz, False)
+        tr_inv2_d = self._trace_contract_compact(UC, inv2 * d[None], True)
+        den = self._trace_contract_compact(UC, IC, True)
+        num = jnp.maximum(zUz + tr_inv2_d, 0)
+        den = floor_below(den, eps)
         V_new = V * jnp.sqrt(num / den)
         return dict(state, activation=V_new)
 
@@ -1142,13 +1132,10 @@ class GaussIPSDTA(IPSDTABase):
         n_sources = U.shape[0]
         if self.source_compact:
             _, UC, _, padC = self._source_compact_preamble(state, layout)
-            IC_all = [
-                self._source_R_inv_compact(UC[n], V[n], padC, True, eps)
-                for n in range(n_sources)
-            ]
+            IC = self._source_R_inv_compact(UC, V, padC, True, eps)
             return (
-                lambda n, i, j: compact_entry(IC_all[n], i, j),
-                lambda n, j: IC_all[n][j],
+                lambda n, i, j: compact_entry(IC, i, j)[n],
+                lambda n, j: IC[j, n],
             )
         UP = jnp.transpose(U, (0, 1, 3, 4, 2))  # (S, K, B, B, nb)
         invf = jnp.transpose(~layout.valid).astype(U.real.dtype)  # (B, nb)
@@ -1447,18 +1434,18 @@ class GaussIPSDTA(IPSDTABase):
                 padC = jnp.concatenate(
                     [invf, jnp.zeros((B * B - B,) + invf.shape[1:], invf.dtype)]
                 )
+                RC = jnp.einsum("skpb,skt->pstb", UC, V)
+                RC = RC + padC[:, None, None, :]
+                RC, _ = psd_parts_hermitian_compact(RC, eps=eps)
+                ICe = jax.lax.optimization_barrier(
+                    inv_hermitian_compact(RC, ridge=eps)
+                )  # (B², S, T, nb)
             else:
                 padP = jnp.eye(B, dtype=U.dtype)[:, :, None] * invf[None]
             G_rows = []
             for n in range(n_sources):
                 if self.source_compact:
-                    RC = jnp.einsum("kpb,kt->ptb", UC[n], V[n])
-                    RC = RC + padC[:, None, :]
-                    RC, _ = psd_parts_hermitian_compact(RC, eps=eps)
-                    ICe = jax.lax.optimization_barrier(
-                        inv_hermitian_compact(RC, ridge=eps)
-                    )
-                    entry = lambda j, k: compact_entry(ICe, j, k).conj()  # noqa: E731
+                    entry = lambda j, k: compact_entry(ICe, j, k)[n].conj()  # noqa: E731
                 else:
                     RP = jnp.einsum(
                         "kijb,kt->ijtb", UP[n], V[n].astype(U.dtype)
@@ -1626,26 +1613,22 @@ class GaussIPSDTA(IPSDTABase):
             # the matrix path materializes (S, T, nb, B, B) tensors whose
             # B ≤ 3 minors pad to the 8×128 tile
             V = state["activation"]
-            n_sources = V.shape[0]
             _, UC, YP, padC = self._source_compact_preamble(state, layout)
             B = layout.block_size
-            total = 0.0
-            for n in range(n_sources):
-                RC = jnp.einsum("kpb,kt->ptb", UC[n], V[n])
-                RC = RC + padC[:, None, :]
-                RC, w = psd_parts_hermitian_compact(RC, eps=eps)
-                IC = psd_inv_hermitian_compact(RC, eps=eps, psd=True)
-                Z = [
-                    sum(compact_entry(IC, i, j) * YP[j, n] for j in range(B))
-                    for i in range(B)
-                ]
-                yRy = sum(
-                    (YP[i, n].conj() * Z[i]).real for i in range(B)
-                ).sum(axis=-1)  # (T,)
-                # padded dims contribute log(1) = 0 via the injected identity
-                logdet = jnp.log(jnp.maximum(w, eps)).sum(axis=(0, -1))  # (T,)
-                total = total + jnp.sum(yRy + logdet)
-            return total - 2 * n_frames * logdet_W.sum()
+            RC = jnp.einsum("skpb,skt->pstb", UC, V)
+            RC = RC + padC[:, None, None, :]
+            RC, w = psd_parts_hermitian_compact(RC, eps=eps)
+            IC = psd_inv_hermitian_compact(RC, eps=eps, psd=True)
+            Z = [
+                sum(compact_entry(IC, i, j) * YP[j] for j in range(B))
+                for i in range(B)
+            ]
+            yRy = sum(
+                (YP[i].conj() * Z[i]).real for i in range(B)
+            ).sum(axis=-1)  # (S, T)
+            # padded dims contribute log(1) = 0 via the injected identity
+            logdet = jnp.log(jnp.maximum(w, eps)).sum(axis=(0, -1))  # (S, T)
+            return jnp.sum(yRy + logdet) - 2 * n_frames * logdet_W.sum()
 
         Y = state["estimation"]  # == separate(X, W) (update invariant)
         y = self._y_blocks(Y, layout)
@@ -1891,12 +1874,13 @@ class TIPSDTA(GaussIPSDTA):
         V_new = V * jnp.sqrt(num / den)
         return dict(state, activation=V_new)
 
-    def _pi_weight_compact(self, n, UC, YP, V, padC, n_bins, eps):
-        """Compact dual of :meth:`_pi_weight_planes` for one source."""
+    def _pi_weight_compact(self, UC, YP, V, padC, n_bins, eps):
+        """Compact dual of :meth:`_pi_weight_planes`, source-batched:
+        ``π (S, T)``."""
         B = int(round(UC.shape[2] ** 0.5))
-        IC = self._source_R_inv_compact(UC[n], V[n], padC, False, eps)
-        Z = self._solve_y_compact(IC, YP[:, n])
-        yRy = sum((YP[i, n].conj() * Z[i]).real for i in range(B)).sum(axis=-1)
+        IC = self._source_R_inv_compact(UC, V, padC, False, eps)
+        Z = self._solve_y_compact(IC, YP)
+        yRy = sum((YP[i].conj() * Z[i]).real for i in range(B)).sum(axis=-1)
         return (self.nu + 2 * n_bins) / (self.nu + 2 * yRy)
 
     def _update_source_mm_compact(self, state, layout):
@@ -1904,7 +1888,6 @@ class TIPSDTA(GaussIPSDTA):
         MM with the posterior weight π folded into the frame statistics."""
         eps = self.eps
         V = state["activation"]
-        n_sources = V.shape[0]
         n_bins = state["input"].shape[1]
         U, UC, YP, padC = self._source_compact_preamble(state, layout)
         B = layout.block_size
@@ -1912,26 +1895,24 @@ class TIPSDTA(GaussIPSDTA):
             B, dtype=U.dtype
         )
 
-        Sk_rows, Tk_rows = [], []
-        for n in range(n_sources):
-            pi = self._pi_weight_compact(n, UC, YP, V, padC, n_bins, eps)
-            IC = self._source_R_inv_compact(UC[n], V[n], padC, True, eps)
-            Z = self._solve_y_compact(IC, YP[:, n])
-            inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
-            SC = (
-                hermitian_compact_from_entries(
-                    lambda c, d: Z[c] * Z[d].conj(), B
-                )
-                + eps * inv2
+        pi = self._pi_weight_compact(UC, YP, V, padC, n_bins, eps)
+        IC = self._source_R_inv_compact(UC, V, padC, True, eps)
+        Z = self._solve_y_compact(IC, YP)
+        inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
+        SC = (
+            hermitian_compact_from_entries(
+                lambda c, d: Z[c] * Z[d].conj(), B
             )
-            Vp = V[n] * pi[None, :]
-            Sk_rows.append(jnp.einsum("kt,ptb->kpb", Vp, SC))
-            Tk_rows.append(jnp.einsum("kt,ptb->kpb", V[n], IC))
+            + eps * inv2
+        )
+        Vp = V * pi[:, None, :]
         S_k = expand_hermitian_compact_trailing(
-            jnp.transpose(jnp.stack(Sk_rows), (0, 1, 3, 2)), B
+            jnp.transpose(jnp.einsum("skt,pstb->skpb", Vp, SC), (0, 1, 3, 2)),
+            B,
         )
         T_k = expand_hermitian_compact_trailing(
-            jnp.transpose(jnp.stack(Tk_rows), (0, 1, 3, 2)), B
+            jnp.transpose(jnp.einsum("skt,pstb->skpb", V, IC), (0, 1, 3, 2)),
+            B,
         )
 
         sqrt_S = _psd_sqrt_fused(layout.pad_identity(S_k), eps=eps)
@@ -1944,22 +1925,18 @@ class TIPSDTA(GaussIPSDTA):
 
         # activation: π recomputed with the updated basis, applied to num
         U, UC, YP, padC = self._source_compact_preamble(state, layout)
-        num_rows, den_rows = [], []
-        for n in range(n_sources):
-            pi2 = self._pi_weight_compact(n, UC, YP, V, padC, n_bins, eps)
-            IC = self._source_R_inv_compact(UC[n], V[n], padC, True, eps)
-            Z = self._solve_y_compact(IC, YP[:, n])
-            inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
-            Pz = hermitian_compact_from_entries(
-                lambda c, dd: Z[c].conj() * Z[dd], B
-            )
-            zUz = self._trace_contract_compact(UC[n], Pz, False)
-            tr_inv2_e = self._trace_contract_compact(UC[n], eps * inv2, True)
-            den = self._trace_contract_compact(UC[n], IC, True)
-            num_rows.append(pi2[None, :] * (zUz + tr_inv2_e))
-            den_rows.append(den)
-        num = jnp.maximum(jnp.stack(num_rows), 0)
-        den = floor_below(jnp.stack(den_rows), eps)
+        pi2 = self._pi_weight_compact(UC, YP, V, padC, n_bins, eps)
+        IC = self._source_R_inv_compact(UC, V, padC, True, eps)
+        Z = self._solve_y_compact(IC, YP)
+        inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
+        Pz = hermitian_compact_from_entries(
+            lambda c, dd: Z[c].conj() * Z[dd], B
+        )
+        zUz = self._trace_contract_compact(UC, Pz, False)
+        tr_inv2_e = self._trace_contract_compact(UC, eps * inv2, True)
+        den = self._trace_contract_compact(UC, IC, True)
+        num = jnp.maximum(pi2[:, None, :] * (zUz + tr_inv2_e), 0)
+        den = floor_below(den, eps)
         V_new = V * jnp.sqrt(num / den)
         return dict(state, activation=V_new)
 
