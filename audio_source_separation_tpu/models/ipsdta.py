@@ -41,10 +41,12 @@ import numpy as np
 from ..algorithm.projection_back import projection_back
 from ..ops.blocks import BlockLayout
 from ..ops.fast_linalg import (
+    add_diag_hermitian_compact,
     add_diag_planes,
     batched_eigvalsh,
     batched_inv,
     batched_log_abs_det,
+    blockwise_inv,
     compact_entry,
     expand_hermitian_compact_trailing,
     hermitian_compact_from_entries,
@@ -57,6 +59,7 @@ from ..ops.fast_linalg import (
     psd_parts_hermitian_compact,
     psd_parts_planes,
     square_hermitian_compact,
+    trace_hermitian_compact,
 )
 from ..ops.ip_components import (
     _plane_index,
@@ -297,12 +300,15 @@ class IPSDTABase(IVABase):
         # K = 2 matrix-pencil source streams (round 5) — flipped per class
         # after the on-chip A/B; see ``_update_source_mm_pencil``
         self.source_pencil = False
-        # compact-Hermitian planes source streams (round 5): R, R⁻¹, R⁻² and
-        # every trace contraction on B² REAL planes (half the streamed bytes
-        # of the complex planes path, real GEMMs instead of complex) — see
+        # compact-Hermitian planes source/spatial/nll streams (round 5):
+        # R, R⁻¹, R⁻² and every trace contraction on B² REAL planes (half
+        # the streamed bytes of the complex planes path, real GEMMs instead
+        # of complex), the whole chain batched over sources — see
         # ``_update_source_mm_compact``.  Bit-parity-tested toggle; default
-        # settled by on-chip A/B (benchmarks/compact_ab.py).
-        self.source_compact = False
+        # ON, settled by the on-chip A/B (benchmarks/compact_ab.py,
+        # COMPACT_AB.json: Kondo 108→186/171 = 1.6×, Ikeshita 1.2×,
+        # tIPSDTA 1.4× at the canonical 1024-block geometry).
+        self.source_compact = True
 
 
 class GaussIPSDTA(IPSDTABase):
@@ -751,11 +757,11 @@ class GaussIPSDTA(IPSDTABase):
     # entry-by-entry (same closed forms, ``ops/fast_linalg`` compact duals);
     # gated by ``self.source_compact`` (on-chip A/B, benchmarks/compact_ab.py).
     # ------------------------------------------------------------------ #
-    def _source_compact_preamble(self, state, layout):
-        """Shared compact operands: ``U (S, K, nb, B, B)`` (for the tiny
-        basis-chain matmuls), its compact planes ``UC (S, K, B², nb)``
-        (real), ``YP (B, S, T, nb)`` (complex, zero-padded), and the compact
-        identity pad ``padC (B², nb)``."""
+    def _source_compact_basis(self, state, layout):
+        """Basis operands for the compact chains: ``U (S, K, nb, B, B)``
+        (for the tiny basis-chain matmuls) and its compact planes
+        ``UC (S, K, B², nb)`` (real).  Recomputed after the basis half-step;
+        the data operands (:meth:`_source_compact_preamble`) are not."""
         U = self._U_kmajor(state)  # (S, K, nb, B, B)
         B = layout.block_size
         UP = jnp.transpose(U, (0, 1, 3, 4, 2))  # (S, K, B, B, nb)
@@ -764,6 +770,14 @@ class GaussIPSDTA(IPSDTABase):
             0,
             2,
         )  # (S, K, B², nb)
+        return U, UC
+
+    def _source_compact_preamble(self, state, layout):
+        """Shared compact operands: ``U``/``UC`` (see
+        :meth:`_source_compact_basis`), ``YP (B, S, T, nb)`` (complex,
+        zero-padded), and the compact identity pad ``padC (B², nb)``."""
+        U, UC = self._source_compact_basis(state, layout)
+        B = layout.block_size
         y = self._y_blocks(state["estimation"], layout)  # (S, T, nb, B)
         YP = jnp.transpose(y, (3, 0, 1, 2))  # (B, S, T, nb)
         invf = jnp.transpose(~layout.valid).astype(U.real.dtype)  # (B, nb)
@@ -778,7 +792,7 @@ class GaussIPSDTA(IPSDTABase):
         adjugate inverse as B² real planes ``(B², S, T, nb)`` (barriered —
         same multi-consumer lever).  The source axis rides INSIDE the planes
         so the whole chain is one kernel stream instead of S duplicates."""
-        RC = jnp.einsum("skpb,skt->pstb", UC, V)  # real GEMM per plane
+        RC = jnp.einsum("skpb,skt->pstb", UC, V.astype(UC.dtype))  # real GEMM per plane
         RC = RC + padC[:, None, None, :]
         RC, _ = psd_parts_hermitian_compact(RC, eps=eps)
         return jax.lax.optimization_barrier(
@@ -838,7 +852,7 @@ class GaussIPSDTA(IPSDTABase):
             - IC
         )
         A = expand_hermitian_compact_trailing(
-            jnp.transpose(jnp.einsum("skt,pstb->skpb", V, AC), (0, 1, 3, 2)),
+            jnp.transpose(jnp.einsum("skt,pstb->skpb", V.astype(UC.dtype), AC), (0, 1, 3, 2)),
             B,
         ) / n_frames  # (S, K, nb, B, B)
         U_new = U @ A @ U + U
@@ -847,7 +861,8 @@ class GaussIPSDTA(IPSDTABase):
         state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
 
         # --- activation: V_new = [V²(z^H U z) + V·n_bins − V²·tr(R⁻¹U)]/n_bins
-        U, UC, YP, padC = self._source_compact_preamble(state, layout)
+        # (YP/padC are data-side — unchanged by the basis half-step)
+        U, UC = self._source_compact_basis(state, layout)
         IC = self._source_R_inv_compact(UC, V, padC, False, eps)
         Z = self._solve_y_compact(IC, YP)
         Pz = hermitian_compact_from_entries(
@@ -881,11 +896,11 @@ class GaussIPSDTA(IPSDTABase):
             + eps * inv2
         )
         S_k = expand_hermitian_compact_trailing(
-            jnp.transpose(jnp.einsum("skt,pstb->skpb", V, SC), (0, 1, 3, 2)),
+            jnp.transpose(jnp.einsum("skt,pstb->skpb", V.astype(UC.dtype), SC), (0, 1, 3, 2)),
             B,
         )
         T_k = expand_hermitian_compact_trailing(
-            jnp.transpose(jnp.einsum("skt,pstb->skpb", V, IC), (0, 1, 3, 2)),
+            jnp.transpose(jnp.einsum("skt,pstb->skpb", V.astype(UC.dtype), IC), (0, 1, 3, 2)),
             B,
         )
 
@@ -899,7 +914,8 @@ class GaussIPSDTA(IPSDTABase):
 
         # --- activation (trace ratio): num = z^H U z + d·tr(U R⁻²),
         # den = tr(R⁻¹U) — three real GEMMs total
-        U, UC, YP, padC = self._source_compact_preamble(state, layout)
+        # (YP/padC are data-side — unchanged by the basis half-step)
+        U, UC = self._source_compact_basis(state, layout)
         IC = self._source_R_inv_compact(UC, V, padC, True, eps)
         Z = self._solve_y_compact(IC, YP)
         ynorm = sum((YP[i].conj() * YP[i]).real for i in range(B))
@@ -1434,7 +1450,7 @@ class GaussIPSDTA(IPSDTABase):
                 padC = jnp.concatenate(
                     [invf, jnp.zeros((B * B - B,) + invf.shape[1:], invf.dtype)]
                 )
-                RC = jnp.einsum("skpb,skt->pstb", UC, V)
+                RC = jnp.einsum("skpb,skt->pstb", UC, V.astype(UC.dtype))
                 RC = RC + padC[:, None, None, :]
                 RC, _ = psd_parts_hermitian_compact(RC, eps=eps)
                 ICe = jax.lax.optimization_barrier(
@@ -1503,13 +1519,20 @@ class GaussIPSDTA(IPSDTABase):
         G = to_psd(G, eps=eps) + pad[..., None] * jnp.eye(
             B * n_channels, dtype=G.dtype
         )
+        # thousands of tiny (BC, BC) systems — but NOT the adjugate/Schur
+        # closed form here: G spans the mixture's full dynamic range and the
+        # blockwise-Schur complement cancels catastrophically at float32 on
+        # real music (NaN by iteration 4 on sample-song where batched LU
+        # survives the same 1e12 transient; the 1e-12 to_psd ridge is below
+        # f32 roundoff).  Pivoted LU is the robustness choice.
         inv_G = jnp.linalg.inv(G)
         inv_G6 = inv_G.reshape(n_sources, layout.n_blocks, B, n_channels, B, n_channels)
         # inv_G_Hermite[s,b,j,k,c,d] = conj(inv_G[s,b,(k,d),(j,c)])
         inv_G_H = jnp.transpose(inv_G6.conj(), (0, 1, 4, 2, 5, 3))
         # → indexes [s, b, j, k, c, d]
 
-        A = jnp.linalg.inv(W)  # (F, C, S) mixing
+        A = batched_inv(W) if W.shape[-1] <= 3 else jnp.linalg.inv(W)
+        # (F, C, S) mixing — adjugate closed form for the tiny C ≤ 3 rows
         A = jnp.transpose(A, (2, 0, 1))  # (S, F, C)
         Ab = layout.gather(jnp.moveaxis(A, -1, 1))  # (S, C, nb, B)
         Ab = jnp.transpose(Ab, (0, 2, 3, 1))  # (S, nb, B, C)
@@ -1615,7 +1638,7 @@ class GaussIPSDTA(IPSDTABase):
             V = state["activation"]
             _, UC, YP, padC = self._source_compact_preamble(state, layout)
             B = layout.block_size
-            RC = jnp.einsum("skpb,skt->pstb", UC, V)
+            RC = jnp.einsum("skpb,skt->pstb", UC, V.astype(UC.dtype))
             RC = RC + padC[:, None, None, :]
             RC, w = psd_parts_hermitian_compact(RC, eps=eps)
             IC = psd_inv_hermitian_compact(RC, eps=eps, psd=True)
@@ -1874,14 +1897,26 @@ class TIPSDTA(GaussIPSDTA):
         V_new = V * jnp.sqrt(num / den)
         return dict(state, activation=V_new)
 
-    def _pi_weight_compact(self, UC, YP, V, padC, n_bins, eps):
-        """Compact dual of :meth:`_pi_weight_planes`, source-batched:
-        ``π (S, T)``."""
+    def _pi_and_R_inv_compact(self, UC, YP, V, padC, n_bins, eps):
+        """Compact dual of :meth:`_pi_weight_planes` FUSED with the MM's
+        ``R⁻¹``: one adjugate inverse serves both — π reads the plain
+        (psd=False) inverse, the MM statistics its ``eps·trace``-ridged
+        (psd=True) variant, which is additive on the diagonal planes.  The
+        planes path re-derives the whole R chain for π (two barriered
+        producer chains XLA cannot merge); here they share exactly.
+        Returns ``(π (S, T), IC (B², S, T, nb))``."""
         B = int(round(UC.shape[2] ** 0.5))
-        IC = self._source_R_inv_compact(UC, V, padC, False, eps)
-        Z = self._solve_y_compact(IC, YP)
-        yRy = sum((YP[i].conj() * Z[i]).real for i in range(B)).sum(axis=-1)
-        return (self.nu + 2 * n_bins) / (self.nu + 2 * yRy)
+        RC = jnp.einsum("skpb,skt->pstb", UC, V.astype(UC.dtype))
+        RC = RC + padC[:, None, None, :]
+        RC, _ = psd_parts_hermitian_compact(RC, eps=eps)
+        IC0 = jax.lax.optimization_barrier(inv_hermitian_compact(RC))
+        Z0 = self._solve_y_compact(IC0, YP)
+        yRy = sum((YP[i].conj() * Z0[i]).real for i in range(B)).sum(axis=-1)
+        pi = (self.nu + 2 * n_bins) / (self.nu + 2 * yRy)
+        IC = add_diag_hermitian_compact(
+            IC0, eps * trace_hermitian_compact(IC0)
+        )
+        return pi, jax.lax.optimization_barrier(IC)
 
     def _update_source_mm_compact(self, state, layout):
         """Compact-Hermitian dual of the t-MM source step: the Gauss compact
@@ -1895,8 +1930,7 @@ class TIPSDTA(GaussIPSDTA):
             B, dtype=U.dtype
         )
 
-        pi = self._pi_weight_compact(UC, YP, V, padC, n_bins, eps)
-        IC = self._source_R_inv_compact(UC, V, padC, True, eps)
+        pi, IC = self._pi_and_R_inv_compact(UC, YP, V, padC, n_bins, eps)
         Z = self._solve_y_compact(IC, YP)
         inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
         SC = (
@@ -1907,11 +1941,11 @@ class TIPSDTA(GaussIPSDTA):
         )
         Vp = V * pi[:, None, :]
         S_k = expand_hermitian_compact_trailing(
-            jnp.transpose(jnp.einsum("skt,pstb->skpb", Vp, SC), (0, 1, 3, 2)),
+            jnp.transpose(jnp.einsum("skt,pstb->skpb", Vp.astype(UC.dtype), SC), (0, 1, 3, 2)),
             B,
         )
         T_k = expand_hermitian_compact_trailing(
-            jnp.transpose(jnp.einsum("skt,pstb->skpb", V, IC), (0, 1, 3, 2)),
+            jnp.transpose(jnp.einsum("skt,pstb->skpb", V.astype(UC.dtype), IC), (0, 1, 3, 2)),
             B,
         )
 
@@ -1924,9 +1958,9 @@ class TIPSDTA(GaussIPSDTA):
         state = dict(state, basis=jnp.transpose(U_new, (0, 2, 3, 4, 1)))
 
         # activation: π recomputed with the updated basis, applied to num
-        U, UC, YP, padC = self._source_compact_preamble(state, layout)
-        pi2 = self._pi_weight_compact(UC, YP, V, padC, n_bins, eps)
-        IC = self._source_R_inv_compact(UC, V, padC, True, eps)
+        # (YP/padC are data-side — unchanged by the basis half-step)
+        U, UC = self._source_compact_basis(state, layout)
+        pi2, IC = self._pi_and_R_inv_compact(UC, YP, V, padC, n_bins, eps)
         Z = self._solve_y_compact(IC, YP)
         inv2 = jax.lax.optimization_barrier(square_hermitian_compact(IC))
         Pz = hermitian_compact_from_entries(

@@ -329,6 +329,39 @@ def psd_inv_planes(R, eps=1e-12, psd=True):
     return inv
 
 
+def blockwise_inv(A):
+    """Closed-form inverse of batched ``(..., n, n)`` matrices with EVEN
+    ``n`` and ``n/2 ≤ 3`` via 2×2-block Schur complements — the batched-LU
+    ``jnp.linalg.inv`` loses to adjugate closed forms on thousands of tiny
+    systems (the Ozerov lever, CLAUDE.md round 4).  Requires the leading
+    principal ``n/2`` block to be invertible (true for the PSD-projected,
+    identity-padded statistics this serves).  Falls back to
+    ``jnp.linalg.inv`` outside the closed forms."""
+    n = A.shape[-1]
+    h = n // 2
+    if n % 2 != 0 or h > 3:
+        return jnp.linalg.inv(A)
+    A11 = A[..., :h, :h]
+    A12 = A[..., :h, h:]
+    A21 = A[..., h:, :h]
+    A22 = A[..., h:, h:]
+    inv11 = batched_inv(A11)
+    B = inv11 @ A12  # A₁₁⁻¹A₁₂
+    S = A22 - A21 @ B  # Schur complement
+    invS = batched_inv(S)
+    C = A21 @ inv11  # A₂₁A₁₁⁻¹
+    top_right = -B @ invS
+    bottom_left = -invS @ C
+    top_left = inv11 - top_right @ C
+    return jnp.concatenate(
+        [
+            jnp.concatenate([top_left, top_right], axis=-1),
+            jnp.concatenate([bottom_left, invS], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def batched_log_abs_det(A):
     """``log |det A|`` for batched matrices, closed form for n ≤ 3."""
     n = A.shape[-1]

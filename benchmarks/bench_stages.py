@@ -135,8 +135,15 @@ def ipsdta_stages():
         @_f32_matmuls
         def fn(state):
             layout = solver._layout(state["input"].shape[1])
-            s2 = solver._update_source_mm(state, layout)
-            return solver._normalize_psdtf(s2)
+            planes = solver.source_planes and layout.block_size <= 3
+            upd = (
+                solver._update_source_mm_compact
+                if planes and solver.source_compact
+                else solver._update_source_mm_planes
+                if planes
+                else solver._update_source_mm
+            )
+            return solver._normalize_psdtf(upd(state, layout))
 
         return fn
 
@@ -151,9 +158,58 @@ def ipsdta_stages():
         return fn
 
     stages = [
-        ("IPSDTA Kondo full iteration", lambda s: s.update_state, 5),
-        ("  source MM + normalize", source_only, 15),
-        ("  spatial VCD sweep", spatial_only, 15),
+        ("IPSDTA Kondo full iteration", lambda s: s.update_state, 10),
+        ("  source MM + normalize", source_only, 20),
+        ("  spatial VCD sweep", spatial_only, 20),
+    ]
+    for name, ufo, iters in stages:
+        bench_stage(name, factory, X, ufo, iters, rows)
+    return rows
+
+
+def ipsdta_ikeshita_stages():
+    """Ikeshita (EM source + fixed-point spatial): attribute the source EM
+    chains vs the fixed-point G/inverse stage (whose (S, nb, BC, BC) = 4×4
+    inverses and to_psd eigh are OUTSIDE the n ≤ 3 closed forms)."""
+    from audio_source_separation_tpu.models import GaussIPSDTA
+    from audio_source_separation_tpu.models.ipsdta import _f32_matmuls
+
+    X = make_input()
+    rows = []
+    factory = lambda: GaussIPSDTA(  # noqa: E731
+        n_basis=2, author="Ikeshita", recordable_loss=False
+    )
+
+    def source_only(solver):
+        @_f32_matmuls
+        def fn(state):
+            layout = solver._layout(state["input"].shape[1])
+            planes = solver.source_planes and layout.block_size <= 3
+            upd = (
+                solver._update_source_em_compact
+                if planes and solver.source_compact
+                else solver._update_source_em_planes
+                if planes
+                else solver._update_source_em
+            )
+            return solver._normalize_psdtf(upd(state, layout))
+
+        return fn
+
+    def spatial_only(solver):
+        @_f32_matmuls
+        def fn(state):
+            layout = solver._layout(state["input"].shape[1])
+            for _ in range(solver.spatial_iteration):
+                state = solver._update_spatial_fixed_point(state, layout)
+            return state
+
+        return fn
+
+    stages = [
+        ("IPSDTA Ikeshita full iteration", lambda s: s.update_state, 10),
+        ("  source EM + normalize", source_only, 20),
+        ("  spatial fixed-point", spatial_only, 20),
     ]
     for name, ufo, iters in stages:
         bench_stage(name, factory, X, ufo, iters, rows)
@@ -198,7 +254,8 @@ def main():
     oz = ozerov_stages()
     saw = sawada_stages()
     ips = ipsdta_stages()
-    rows = fast + oz + saw + ips
+    ike = ipsdta_ikeshita_stages()
+    rows = fast + oz + saw + ips + ike
     print("\n| Stage | iters/s | ms/iter | XLA op MB | XLA GFLOP |")
     print("|---|---|---|---|---|")
     for r in rows:

@@ -468,7 +468,15 @@ def main():
         "  ON-CHIP A/B (`planes_ab.py`, table below) measures planes FASTER",
         "  for every author — Kondo 1.39×, Ikeshita 1.29×, tIPSDTA 1.07× —",
         "  the model cannot see the tile-padding/layout-copy cost of the",
-        "  (B, B)-minor batched dots.  Default ON since round 5.",
+        "  (B, B)-minor batched dots.  Default ON since round 5.  Round 5",
+        "  then rebuilt the whole iteration on COMPACT-Hermitian planes",
+        "  batched over sources (`source_compact`, table below): B² real",
+        "  planes instead of complex entry planes, every trace contraction",
+        "  one ±2-weighted real GEMM, the t-path's π weight sharing one",
+        "  adjugate with the MM statistics — Kondo 1.6×, Ikeshita 1.2×,",
+        "  tIPSDTA 1.4× on top of the planes path.  The stage is",
+        "  KERNEL-COUNT bound, not bandwidth bound (planes are ~2 MB):",
+        "  source-batching alone moved Kondo 143 → 186 iters/s.",
         "- **Round-5 levers**: LDPSDTF replaces the reference's 8×",
         "  batched-eigvalsh + 3× LU chain with a K=2 matrix-PENCIL path",
         "  (one B×B generalized eigendecomposition per iteration",
@@ -688,6 +696,47 @@ def main():
                             name, rep, modes["riccati_planes"],
                             modes["riccati_matrix"],
                             modes["riccati_planes"] / modes["riccati_matrix"],
+                        )
+                    )
+
+    # round-5 compact-Hermitian IPSDTA A/B (benchmarks/compact_ab.py artifact)
+    compact_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "COMPACT_AB.json"
+    )
+    if os.path.exists(compact_path):
+        with open(compact_path) as f:
+            cp_rows = [
+                r for r in json.load(f)["rows"] if "iters_per_sec" in r
+            ]
+        if cp_rows:
+            lines += [
+                "",
+                "## IPSDTA compact-Hermitian planes A/B (round 5)",
+                "",
+                "Same solver, same config (`compact_ab.py`, differenced",
+                "methodology, arms interleaved twice).  `compact` runs the",
+                "whole IPSDTA iteration — source R/R⁻¹/R⁻²/zzᴴ chains, every",
+                "trace contraction (real GEMMs over ±2-weighted upper-triangle",
+                "planes), the VCD sweep invariants, the fixed-point G, and the",
+                "NLL — on B² REAL compact planes batched over sources (one",
+                "kernel stream instead of S duplicates); `planes` is the",
+                "round-4 complex-planes path.  Gate `source_compact` defaults",
+                "ON (settled here, not by the cost model).",
+                "",
+                "| Solver | rep | compact iters/s | planes iters/s | compact/planes |",
+                "|---|---|---|---|---|",
+            ]
+            by_key = {}
+            for r in cp_rows:
+                by_key.setdefault((r["solver"], r.get("rep", 1)), {})[
+                    r["mode"]
+                ] = r["iters_per_sec"]
+            for (name, rep), modes in sorted(by_key.items()):
+                if "compact" in modes and "planes" in modes:
+                    lines.append(
+                        "| {} | {} | {:.0f} | {:.0f} | {:.2f}x |".format(
+                            name, rep, modes["compact"], modes["planes"],
+                            modes["compact"] / modes["planes"],
                         )
                     )
 

@@ -519,3 +519,19 @@ def test_solve_riccati_hermitian_compact_matches_matrix(rng):
         H, np.asarray(solve_riccati(jnp.asarray(A), jnp.asarray(B))),
         rtol=1e-7, atol=1e-9,
     )
+
+
+def test_blockwise_inv_matches_lu(rng):
+    """The 2×2-block Schur closed-form inverse (Ikeshita fixed-point G
+    systems) matches jnp.linalg.inv for even n with n/2 ≤ 3 and falls back
+    cleanly outside the closed forms."""
+    import jax.numpy as jnp
+    from audio_source_separation_tpu.ops.fast_linalg import blockwise_inv
+
+    for n in (2, 4, 6, 5, 8):
+        A = rng.randn(7, n, n) + 1j * rng.randn(7, n, n)
+        A = A @ np.swapaxes(A, -2, -1).conj() + n * np.eye(n)  # PD
+        inv = np.asarray(blockwise_inv(jnp.asarray(A)))
+        np.testing.assert_allclose(
+            inv @ A, np.broadcast_to(np.eye(n), A.shape), atol=1e-9
+        )

@@ -329,6 +329,25 @@ def test_ipsdta_source_planes_sharded_matches_single(rng, author, mode):
     _assert_equivalent(*pair)
 
 
+@pytest.mark.parametrize("author,mode", [("Kondo", "bins"), ("Ikeshita", "frames")])
+def test_ipsdta_source_compact_sharded_matches_single(rng, author, mode):
+    """The compact-Hermitian source chains (round 5, ``source_compact``)
+    preserve mesh equivalence: the B² real planes carry the (blocks) axis in
+    the tile exactly like the complex planes, so bins mode stays shard-local
+    and frames mode psums identically."""
+    X = _canonical_mixture(rng, n_bins=256, n_frames=64)
+
+    def make():
+        solver = GaussIPSDTA(
+            n_basis=2, author=author, n_blocks=128, spatial_iteration=2
+        )
+        solver.source_compact = True
+        return solver
+
+    pair = _run_pair(make, X, mode, 4, iteration=2)
+    _assert_equivalent(*pair)
+
+
 def test_ipsdta_bins_misaligned_blocks_raise(rng):
     """Non-uniform block partitions cannot align with bin shards — the
     mesh-compatibility hook must reject them with a clear message."""

@@ -340,3 +340,30 @@ def test_covariance_isnmf_float32_real_music_finite(song):
     assert loss[-1] < loss[0]
     d = np.diff(loss)
     assert (d <= np.abs(loss[:-1]) * 0.05).all()
+
+
+def test_ipsdta_float32_real_music_finite(song):
+    """Round-5 regression: all three IPSDTA variants (compact default)
+    stay finite at complex64 on real music.  Locks the fixed-point G
+    inverse on pivoted LU: the blockwise-Schur closed form cancels
+    catastrophically on the ~1e12 ill-conditioned G transient (NaN by
+    iteration 4 where LU recovers — the 1e-12 to_psd ridge is below f32
+    roundoff), so the 'adjugate beats batched LU' lever does NOT apply to
+    full-dynamic-range statistics."""
+    from audio_source_separation_tpu.models import GaussIPSDTA, TIPSDTA
+
+    x, _, _ = song
+    X = np.asarray(
+        stft(x, fft_size=4096, hop_size=2048), dtype=np.complex64
+    )[:, :129, :120]
+    for cls, kw in [
+        (GaussIPSDTA, dict(author="Kondo", spatial_iteration=2)),
+        (GaussIPSDTA, dict(author="Ikeshita", spatial_iteration=1)),
+        (TIPSDTA, dict(nu=1.0, spatial_iteration=2)),
+    ]:
+        np.random.seed(111)
+        solver = cls(n_basis=2, n_blocks=64, **kw)
+        Y = np.asarray(solver(X, iteration=8))
+        loss = np.asarray(solver.loss)
+        assert np.all(np.isfinite(Y)), (cls.__name__, kw)
+        assert np.all(np.isfinite(loss)), (cls.__name__, kw, loss)
