@@ -46,7 +46,6 @@ from ..ops.fast_linalg import (
     batched_eigvalsh,
     batched_inv,
     batched_log_abs_det,
-    blockwise_inv,
     compact_entry,
     expand_hermitian_compact_trailing,
     hermitian_compact_from_entries,
